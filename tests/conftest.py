@@ -1,0 +1,14 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Must set the env before jax is imported anywhere (the standard JAX trick for
+testing N-device sharding without a pod — SURVEY.md section 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
