@@ -1,0 +1,179 @@
+"""End-to-end bits -> waveform -> bits chains.
+
+These close the loop the reference leaves open (its demodulator stops at soft
+I/Q text, `/root/reference/src/bin/demodulate.rs:41-43`) and are the
+BASELINE.md headline configurations:
+
+* :class:`PulseShapedChain` — linear-modulation flagship: bits -> constellation
+  map -> zero-stuffed upsample -> RRC pulse shaping -> (optional NCO passband)
+  -> AWGN -> matched filter -> symbol-instant decimation -> min-distance
+  slicing -> bits. (configs #1/#2: BPSK/QPSK + RRC + matched filter.)
+* :class:`FskChain` — FSK/MSK via the Modulator's exact phase programs and an
+  FM-discriminator receiver (config #3).
+
+Both are single jittable block transforms: the whole TX+channel+RX graph fuses
+into a handful of XLA kernels around the FIR engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import Rates
+from .models.base import Scheme
+from .ops.fir import fir_filter
+from .ops.filters import rrc_taps
+from .ops.nco import carrier_phase, mix_up
+from .ops.slicer import fm_discriminate, fsk_slice, lut_slice
+from .tx import Modulator
+from .utils.bits import pack_bits, unpack_symbols
+
+
+def upsample_zero_stuff(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """[..., K] -> [..., K*factor] with x[k] at position k*factor, zeros between."""
+    shape = x.shape[:-1] + (x.shape[-1], factor)
+    u = jnp.zeros(shape, x.dtype).at[..., 0].set(x)
+    return u.reshape(x.shape[:-1] + (x.shape[-1] * factor,))
+
+
+class PulseShapedChain:
+    """Matched-filter chain for constellation (LUT) schemes.
+
+    ``scheme`` must expose a static ``lut`` ([M, 2] constellation, as built by
+    BPSK/QPSK/MPSK/QAM/APSK/BASK); slicing is minimum-distance against it.
+    One-shot block API: the TX appends ``span`` flush symbols so the matched
+    filter's full response is observed; total group delay is ``span*sps``.
+    """
+
+    def __init__(
+        self,
+        scheme: Scheme,
+        rates: Rates,
+        span_symbols: int = 8,
+        beta: float = 0.35,
+        carrier_hz: int | None = None,
+        fir_backend: str = "direct",
+    ):
+        if not hasattr(scheme, "lut"):
+            raise TypeError("PulseShapedChain needs a constellation-LUT scheme")
+        self.scheme = scheme
+        self.rates = rates
+        self.span = span_symbols
+        self.sps = rates.samples_per_symbol
+        self.rrc = rrc_taps(self.sps, span_symbols, beta)
+        self.carrier_hz = carrier_hz
+        self.fir_backend = fir_backend
+        self.lut = np.asarray(scheme.lut, np.float32)
+
+    # ---- TX ----
+
+    def map_symbols(self, bits: jnp.ndarray) -> jnp.ndarray:
+        return pack_bits(bits, self.scheme.bits_per_symbol)
+
+    def shape_pulses(self, symbols: jnp.ndarray):
+        """symbols [..., K] -> RRC-shaped baseband I/Q [..., (K+span)*sps]."""
+        lut = jnp.asarray(self.lut)
+        iq = lut[symbols]  # [..., K, 2]
+        flush = jnp.zeros(iq.shape[:-2] + (self.span, 2), iq.dtype)
+        iq = jnp.concatenate([iq, flush], axis=-2)
+        ui = upsample_zero_stuff(iq[..., 0], self.sps)
+        uq = upsample_zero_stuff(iq[..., 1], self.sps)
+        si, _ = fir_filter(ui, self.rrc, backend=self.fir_backend)
+        sq, _ = fir_filter(uq, self.rrc, backend=self.fir_backend)
+        return si, sq
+
+    def tx(self, bits: jnp.ndarray):
+        """bits -> baseband I/Q (or real passband if carrier_hz is set)."""
+        si, sq = self.shape_pulses(self.map_symbols(bits))
+        if self.carrier_hz is None:
+            return si, sq
+        theta = carrier_phase(
+            self.carrier_hz, self.rates.sample_rate, si.shape[-1], 0
+        )
+        re, _ = mix_up(si, sq, theta)
+        return re
+
+    # ---- RX ----
+
+    def matched_filter(self, i: jnp.ndarray, q: jnp.ndarray):
+        yi, _ = fir_filter(i, self.rrc, backend=self.fir_backend)
+        yq, _ = fir_filter(q, self.rrc, backend=self.fir_backend)
+        return yi, yq
+
+    def downconvert(self, x: jnp.ndarray):
+        """Real passband -> baseband I/Q via coherent product detection
+        (2x gain as in `demodulator.rs:52-55`; the matched filter is the
+        lowpass)."""
+        theta = carrier_phase(self.carrier_hz, self.rates.sample_rate,
+                              x.shape[-1], 0)
+        return 2.0 * x * jnp.cos(theta), -2.0 * x * jnp.sin(theta)
+
+    def decimate(self, yi: jnp.ndarray, yq: jnp.ndarray, n_symbols: int):
+        """Sample at symbol centers: delay span*sps, stride sps."""
+        d = self.span * self.sps
+        idx = d + jnp.arange(n_symbols, dtype=jnp.int32) * self.sps
+        return yi[..., idx], yq[..., idx]
+
+    def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        """waveform -> decided bits [..., K*bps]."""
+        if self.carrier_hz is None:
+            yi, yq = rx_wave
+        else:
+            yi, yq = self.downconvert(rx_wave)
+        yi, yq = self.matched_filter(yi, yq)
+        di, dq = self.decimate(yi, yq, n_symbols)
+        syms = lut_slice(di, dq, self.lut)
+        return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """Noiseless bits -> bits (must be exactly equal for sane configs)."""
+        k = bits.shape[-1] // self.scheme.bits_per_symbol
+        return self.rx(self.tx(bits), k)
+
+
+class FskChain:
+    """FSK/MSK chain: exact-phase TX (the Modulator's PhaseProgram) plus an
+    FM-discriminator RX (config #3). ``coefs`` is the static symbol ->
+    frequency-coefficient table; ``dev`` the deviation in rad/sample."""
+
+    def __init__(self, scheme: Scheme, rates: Rates, coefs: np.ndarray,
+                 dev_rad_per_sample: float, guard: int = 1):
+        self.scheme = scheme
+        self.rates = rates
+        self.mod = Modulator(scheme, rates)
+        self.coefs = np.asarray(coefs, np.float32)
+        self.dev = float(dev_rad_per_sample)
+        self.guard = guard
+
+    def tx(self, bits: jnp.ndarray, state=None):
+        st = state if state is not None else self.mod.init_state(bits.shape[:-1])
+        (i, q), _ = self.mod.baseband(bits, st)
+        return i, q
+
+    def rx(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        inst = fm_discriminate(i, q)
+        syms = fsk_slice(inst, self.coefs, self.dev,
+                         self.rates.samples_per_symbol, self.guard)
+        return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
+        i, q = self.tx(bits)
+        return self.rx(i, q)
+
+
+def qpsk_reference_chain(
+    rates: Rates, span_symbols: int = 8, beta: float = 0.35,
+    fir_backend: str = "direct",
+) -> PulseShapedChain:
+    """The BASELINE.md flagship: QPSK + RRC + matched filter at complex
+    baseband (`BASELINE.json` config #2)."""
+    from .models.psk import QPSK
+
+    return PulseShapedChain(
+        QPSK(0.0, 1.0), rates, span_symbols, beta, fir_backend=fir_backend
+    )

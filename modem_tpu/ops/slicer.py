@@ -1,0 +1,102 @@
+"""Hard-decision symbol slicers — the bits-recovery stage the reference lacks.
+
+The reference demodulator stops at soft I/Q text output
+(`/root/reference/src/bin/demodulate.rs:41-43`); closing the loop bits->bits
+is a required new capability (SURVEY.md "What the reference is NOT",
+BASELINE.md). Decisions are batched tensor ops:
+
+* constellation schemes — minimum-distance via one small matmul against the
+  scheme's constellation LUT (MXU-friendly: argmax of 2*<y, c> - |c|^2);
+* differential PSK — phase-difference quantization between consecutive
+  decisions;
+* FSK family — FM discriminator (phase increments -> per-symbol frequency
+  average -> nearest coefficient).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def lut_slice(i: jnp.ndarray, q: jnp.ndarray, lut: np.ndarray) -> jnp.ndarray:
+    """Nearest constellation point: ``[..., K]`` I/Q -> ``[..., K]`` int32 symbols.
+
+    ``lut`` is a static ``[M, 2]`` (i, q) table (e.g. ``scheme.lut``).
+    argmin |y - c|^2 == argmax (2*<y, c> - |c|^2): one [K, M] matmul.
+    """
+    lut = np.asarray(lut, np.float32)
+    y = jnp.stack([i, q], axis=-1)  # [..., K, 2]
+    score = 2.0 * (y @ jnp.asarray(lut.T)) - jnp.asarray(
+        np.sum(lut * lut, axis=-1)
+    )
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def diff_phase_slice(
+    i: jnp.ndarray,
+    q: jnp.ndarray,
+    shift: float,
+    bits_per_symbol: int,
+    prev: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Differential PSK decisions: quantize the phase *change* between
+    consecutive symbol samples to the nearest multiple of ``shift``
+    (inverse of `dmpsk.rs:29-33`). ``prev``: previous block's last (i, q)
+    pair ``[..., 2]``; defaults to the DMPSK initial phase being unknown —
+    callers should seed it with cos/sin of the TX's initial phase."""
+    m = 1 << bits_per_symbol
+    y = i + 1j * q
+    if prev is None:
+        prev_c = jnp.ones_like(y[..., :1])
+    else:
+        prev_c = (prev[..., 0] + 1j * prev[..., 1])[..., None]
+    yprev = jnp.concatenate([prev_c, y[..., :-1]], axis=-1)
+    dphi = jnp.angle(y * jnp.conj(yprev))
+    sym = jnp.round(dphi / shift).astype(jnp.int32) % m
+    return sym
+
+
+def fm_discriminate(
+    i: jnp.ndarray, q: jnp.ndarray, prev: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Instantaneous frequency (radians/sample) of a complex baseband signal:
+    angle(y[n] * conj(y[n-1])). ``prev``: previous block's last sample [..., 2].
+    """
+    y = i + 1j * q
+    if prev is None:
+        prev_c = y[..., :1]
+    else:
+        prev_c = (prev[..., 0] + 1j * prev[..., 1])[..., None]
+    yprev = jnp.concatenate([prev_c, y[..., :-1]], axis=-1)
+    return jnp.angle(y * jnp.conj(yprev))
+
+
+def fsk_slice(
+    inst_freq: jnp.ndarray,
+    coefs: np.ndarray,
+    dev_rad_per_sample: float,
+    sps: int,
+    guard: int = 1,
+) -> jnp.ndarray:
+    """Per-symbol frequency decisions: average the instantaneous frequency
+    over the interior of each symbol (skipping ``guard`` transition samples),
+    then pick the nearest ``coef * dev`` (the inverse of the FSK phasors'
+    ``coef(sym) * w_dev`` trajectories, `mfsk.rs:60-66`, `cpfsk.rs:26-31`).
+
+    ``inst_freq``: ``[..., K*sps]`` radians/sample; ``coefs``: static [M]
+    coefficient table. Returns ``[..., K]`` int32 symbols.
+
+    Discriminator Nyquist constraint: every |coef * dev| must stay below pi
+    rad/sample, or the phase-increment angle wraps and symbols alias.
+    """
+    k = inst_freq.shape[-1] // sps
+    per_sym = inst_freq[..., : k * sps].reshape(inst_freq.shape[:-1] + (k, sps))
+    interior = per_sym[..., guard:]
+    mean_f = jnp.mean(interior, axis=-1)  # [..., K]
+    targets = jnp.asarray(
+        np.asarray(coefs, np.float32) * np.float32(dev_rad_per_sample)
+    )
+    err = jnp.abs(mean_f[..., None] - targets)
+    return jnp.argmin(err, axis=-1).astype(jnp.int32)
