@@ -1,0 +1,164 @@
+"""The 2D-sharded flagship chain: channels x time over a ("ch", "time") mesh.
+
+Implements BASELINE.md's scaling configuration (a bank of independent channels,
+each channel's sample stream optionally split across the time axis) as one
+``jax.shard_map``-wrapped step whose bits->bits decisions are **exactly** those
+of the single-device :class:`modem_tpu.chain.PulseShapedChain`:
+
+* TX pulse shaping and the RX matched filter are globally-causal FIRs stitched
+  with left-halo ``ppermute`` exchanges (overlap-save across devices);
+* symbol decisions at global index ``span*sps + m*sps`` may fall in the right
+  neighbor's shard, so each device receives a ``span*sps``-sample *right* halo
+  of the neighbor's filtered output;
+* the final device has no right neighbor — it instead filters a local
+  ``span*sps``-zero extension, which is by construction identical to the
+  single-device chain's flush tail (flush symbols are zero-stuffed zeros).
+
+Every collective is a nearest-neighbor ``ppermute`` (rides ICI) plus one
+``psum`` for the BER counters; payloads are O(filter taps), not O(stream).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chain import PulseShapedChain, upsample_zero_stuff
+from ..ops.fir import fir_filter
+from ..ops.nco import carrier_phase, mix_up
+from ..ops.slicer import lut_slice
+from ..utils.bits import pack_bits, unpack_symbols
+from .collectives import left_halo, right_halo
+
+
+class ShardedPulseChain:
+    """Distribute a :class:`PulseShapedChain` over ``mesh`` axes ``("ch",
+    "time")``. Channel axis 0 of ``bits [C, n_bits]`` is sharded over ``ch``;
+    the symbol/sample axis over ``time``.
+
+    Baseband only for now (``chain.carrier_hz is None``); the per-shard NCO
+    offset for passband operation is closed-form but deliberately kept out of
+    the first sharded milestone.
+    """
+
+    def __init__(self, chain: PulseShapedChain, mesh: Mesh):
+        if chain.carrier_hz is not None:
+            raise NotImplementedError("sharded chain is baseband-only")
+        self.chain = chain
+        self.mesh = mesh
+        self.t_dev = mesh.shape["time"]
+
+    # -- the local (per-device) step, run under shard_map --------------------
+
+    def _local_tx(self, bits_l: jnp.ndarray):
+        """bits [Cl, Kl*bps] -> (wave [Cl, n], ext [Cl, d]) where ``ext`` is
+        the locally-filtered zero extension (only meaningful on the last
+        device, where it equals the flush tail)."""
+        ch = self.chain
+        sps, d = ch.sps, ch.span * ch.sps
+        syms = pack_bits(bits_l, ch.scheme.bits_per_symbol)
+        lut = jnp.asarray(ch.lut)
+        iq = lut[syms]  # [Cl, Kl, 2]
+        ui = upsample_zero_stuff(iq[..., 0], sps)
+        uq = upsample_zero_stuff(iq[..., 1], sps)
+        z = jnp.zeros(ui.shape[:-1] + (d,), ui.dtype)
+        ui = jnp.concatenate([ui, z], axis=-1)
+        uq = jnp.concatenate([uq, z], axis=-1)
+        k = ch.rrc.shape[0]
+        # Halo over the *zero-stuffed* stream: its last k-1 samples.
+        hi = left_halo(ui[..., : ui.shape[-1] - d], k - 1, "time")
+        hq = left_halo(uq[..., : uq.shape[-1] - d], k - 1, "time")
+        si, _ = fir_filter(ui, ch.rrc, hi, ch.fir_backend)
+        sq, _ = fir_filter(uq, ch.rrc, hq, ch.fir_backend)
+        n = ui.shape[-1] - d
+        return (si[..., :n], sq[..., :n]), (si[..., n:], sq[..., n:])
+
+    def _local_rx(self, wave, ext, n_sym_local: int):
+        """Matched filter + decimate + slice, with the right halo stitched
+        from the neighbor's filtered output (or the local flush extension on
+        the last device)."""
+        ch = self.chain
+        d = ch.span * ch.sps
+        (xi, xq), (ei, eq) = wave, ext
+        k = ch.rrc.shape[0]
+        hi = left_halo(xi, k - 1, "time")
+        hq = left_halo(xq, k - 1, "time")
+        # Filter the local block and its extension in one pass.
+        yi, _ = fir_filter(jnp.concatenate([xi, ei], axis=-1), ch.rrc, hi,
+                           ch.fir_backend)
+        yq, _ = fir_filter(jnp.concatenate([xq, eq], axis=-1), ch.rrc, hq,
+                           ch.fir_backend)
+        n = xi.shape[-1]
+        # Right halo of the *valid* filtered region; the last device keeps its
+        # locally-computed extension (the flush tail).
+        is_last = jax.lax.axis_index("time") == self.t_dev - 1
+        ti = jnp.where(is_last, yi[..., n:], right_halo(yi[..., :n], d, "time"))
+        tq = jnp.where(is_last, yq[..., n:], right_halo(yq[..., :n], d, "time"))
+        zi = jnp.concatenate([yi[..., :n], ti], axis=-1)
+        zq = jnp.concatenate([yq[..., :n], tq], axis=-1)
+        idx = d + jnp.arange(n_sym_local, dtype=jnp.int32) * ch.sps
+        syms = lut_slice(zi[..., idx], zq[..., idx], ch.lut)
+        return unpack_symbols(syms, ch.scheme.bits_per_symbol)
+
+    def _local_roundtrip(self, bits_l, key_l, snr_db):
+        wave, ext = self._local_tx(bits_l)
+        if snr_db is not None:
+            # Per-device noise stream: fold the shard coordinates into the key.
+            kdev = jax.random.fold_in(
+                jax.random.fold_in(key_l, jax.lax.axis_index("time")),
+                jax.lax.axis_index("ch"),
+            )
+            k1, k2, k3, k4 = jax.random.split(kdev, 4)
+            # Average waveform power: symbol energy spread over sps samples
+            # (static — keeps the noise level identical across shards).
+            p = float(np.mean(np.sum(np.asarray(self.chain.lut) ** 2, -1))
+                      / self.chain.sps)
+            sig = jnp.float32(np.sqrt(p / (10.0 ** (snr_db / 10.0)) / 2.0))
+            wave = (wave[0] + sig * jax.random.normal(k1, wave[0].shape),
+                    wave[1] + sig * jax.random.normal(k2, wave[1].shape))
+            ext = (ext[0] + sig * jax.random.normal(k3, ext[0].shape),
+                   ext[1] + sig * jax.random.normal(k4, ext[1].shape))
+        n_sym_l = bits_l.shape[-1] // self.chain.scheme.bits_per_symbol
+        return self._local_rx(wave, ext, n_sym_l)
+
+    # -- public jitted entry points -----------------------------------------
+
+    def roundtrip_fn(self, snr_db: float | None = None):
+        """Returns jit(f(bits [C, K*bps], key) -> decided bits), sharded over
+        the mesh. Noiseless decisions are exactly the single-device chain's."""
+        spec = P("ch", "time")
+
+        def step(bits, key):
+            return self._local_roundtrip(bits, key, snr_db)
+
+        fn = jax.shard_map(step, mesh=self.mesh, in_specs=(spec, P()),
+                           out_specs=spec, check_vma=False)
+        return jax.jit(fn)
+
+    def ber_fn(self, snr_db: float | None = None):
+        """Returns jit(f(bits, key) -> (errors, total)): the full distributed
+        TX -> channel -> RX -> count step with a global ``psum`` reduction."""
+        spec = P("ch", "time")
+
+        def step(bits, key):
+            out = self._local_roundtrip(bits, key, snr_db)
+            err = jnp.sum((out != bits).astype(jnp.int32))
+            tot = jnp.int32(bits.size)
+            err = jax.lax.psum(jax.lax.psum(err, "time"), "ch")
+            tot = jax.lax.psum(jax.lax.psum(tot, "time"), "ch")
+            return err, tot
+
+        fn = jax.shard_map(step, mesh=self.mesh, in_specs=(spec, P()),
+                           out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)
+
+    def shard_bits(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """Place host bits on the mesh with the chain's sharding."""
+        return jax.device_put(
+            bits, NamedSharding(self.mesh, P("ch", "time"))
+        )

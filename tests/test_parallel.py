@@ -1,0 +1,140 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The standard JAX trick (SURVEY.md section 4): halo-exchange and prefix-scan
+correctness is device-count generic, so an ``xla_force_host_platform_device_count=8``
+mesh validates the collectives without a pod.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modem_tpu import Modulator, Rates, make_scheme
+from modem_tpu.chain import qpsk_reference_chain, PulseShapedChain
+from modem_tpu.models.qam import QAM
+from modem_tpu.parallel import (
+    ShardedPulseChain, exclusive_prefix, make_modem_mesh, sharded_fir,
+    time_sharded_baseband,
+)
+
+RATES = Rates(baud_rate=1250, sample_rate=10000)  # sps = 8
+
+
+def bits_for(scheme, n_sym, seed=0, channels=None):
+    rng = np.random.default_rng(seed)
+    shape = (n_sym * scheme.bits_per_symbol,)
+    if channels:
+        shape = (channels,) + shape
+    return jnp.asarray(rng.integers(0, 2, shape), jnp.int32)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_modem_mesh(ch=2, time=4)
+
+
+@pytest.fixture(scope="module")
+def mesh_time8():
+    return make_modem_mesh(ch=1, time=8)
+
+
+class TestShardedFir:
+    def test_matches_single_device(self, mesh_time8):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(800,)), jnp.float32)
+        taps = rng.normal(size=33).astype(np.float32)
+        y = sharded_fir(x, taps, mesh_time8, batch_axis=None)
+        ref = np.convolve(np.asarray(x), taps)[: x.shape[0]]
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+    def test_batched_2d_mesh(self, mesh8):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(4, 640)), jnp.float32)
+        taps = rng.normal(size=17).astype(np.float32)
+        y = sharded_fir(x, taps, mesh8)
+        for c in range(4):
+            ref = np.convolve(np.asarray(x[c]), taps)[:640]
+            np.testing.assert_allclose(np.asarray(y[c]), ref, atol=1e-4)
+
+
+class TestExclusivePrefix:
+    def test_values(self, mesh_time8):
+        from jax.sharding import PartitionSpec as P
+
+        vals = jnp.arange(8, dtype=jnp.int32) + 1  # one scalar per device
+
+        def f(x):
+            return exclusive_prefix(x[0], "time")[None]
+
+        out = jax.jit(jax.shard_map(
+            f, mesh=mesh_time8, in_specs=(P("time"),), out_specs=P("time")
+        ))(vals)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.concatenate([[0], np.cumsum(np.arange(7) + 1)])
+        )
+
+
+class TestShardedChain:
+    def test_qpsk_noiseless_exact(self, mesh8):
+        chain = qpsk_reference_chain(RATES)
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=64, channels=4)
+        out = sharded.roundtrip_fn()(sharded.shard_bits(bits),
+                                     jax.random.key(0))
+        # Exact parity with the single-device chain, which itself round-trips.
+        single = chain.roundtrip(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_qam16_noiseless_exact(self, mesh8):
+        chain = PulseShapedChain(QAM(4, 0.0, 6.0), RATES)
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=32, channels=2)
+        out = sharded.roundtrip_fn()(sharded.shard_bits(bits),
+                                     jax.random.key(0))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_ber_step_noisy(self, mesh8):
+        chain = qpsk_reference_chain(RATES)
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=64, channels=4, seed=3)
+        err, tot = sharded.ber_fn(snr_db=20.0)(sharded.shard_bits(bits),
+                                               jax.random.key(1))
+        assert int(tot) == bits.size
+        assert int(err) == 0  # 20 dB is far above QPSK threshold
+
+    def test_ber_step_low_snr_has_errors(self, mesh8):
+        chain = qpsk_reference_chain(RATES)
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=256, channels=4, seed=4)
+        err, _ = sharded.ber_fn(snr_db=-6.0)(sharded.shard_bits(bits),
+                                             jax.random.key(2))
+        assert int(err) > 0
+
+
+class TestTimeShardedModulator:
+    SCHEMES = ["qpsk", "bpsk", "bfsk", "mfsk", "dqpsk", "dbpsk", "dcqpsk",
+               "msk", "oqpsk", "16cpfsk", "qam16", "16apsk"]
+
+    @pytest.mark.parametrize("name", SCHEMES)
+    def test_matches_single_device(self, name, mesh_time8):
+        rates = RATES
+        scheme = make_scheme(name, rates)
+        mod = Modulator(scheme, rates)
+        bits = bits_for(scheme, n_sym=64, seed=7)
+        (ri, rq), _ = mod.baseband(bits, mod.init_state())
+        si, sq = time_sharded_baseband(mod, bits, mesh_time8)
+        tol = 2e-5 if name in ("dqpsk", "dbpsk") else 1e-6
+        np.testing.assert_allclose(np.asarray(si), np.asarray(ri), atol=tol)
+        np.testing.assert_allclose(np.asarray(sq), np.asarray(rq), atol=tol)
+
+    def test_channel_and_time_sharded(self, mesh8):
+        scheme = make_scheme("mfsk", RATES)
+        mod = Modulator(scheme, RATES)
+        bits = bits_for(scheme, n_sym=32, seed=8, channels=4)
+        (ri, rq), _ = mod.baseband(bits, mod.init_state((4,)))
+        si, sq = time_sharded_baseband(mod, bits, mesh8)
+        np.testing.assert_allclose(np.asarray(si), np.asarray(ri), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sq), np.asarray(rq), atol=1e-6)
