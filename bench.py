@@ -1,0 +1,103 @@
+"""Headline benchmark: flagship chain throughput on one chip.
+
+Measures complex baseband samples/s through the full BASELINE.json config #2
+pipeline — QPSK map -> RRC pulse shaping (full-rate waveform synthesis) ->
+matched filter -> symbol decimation -> min-distance slicing -> bits — run as
+the single fused Pallas kernel (:mod:`modem_tpu.ops.pallas_chain`), which
+keeps the waveform VMEM-resident; HBM touches only the bit tensors.
+
+Methodology notes (this environment's TPU sits behind an async tunnel whose
+``block_until_ready`` does not reliably await remote execution):
+
+* the per-block loop runs **on device** via ``lax.scan`` inside one jit, so
+  host/tunnel latency cannot pipeline-fake the numbers;
+* every block's decided bits are checksummed on device and the single scalar
+  is fetched to the host inside the timing window — the work provably ran;
+* the checksum must equal the input bit sum (the noiseless chain is exact),
+  which is also the 0-BER correctness gate;
+* the first synchronous fetch after compilation pays a large one-off tunnel
+  anomaly (~2 min); it is absorbed before timing.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+``vs_baseline`` relative to the 1e9 samples/s/chip target (BASELINE.md; the
+reference publishes no numbers — SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from modem_tpu import Rates
+from modem_tpu.chain import qpsk_reference_chain
+
+TARGET = 1e9  # samples/s/chip, BASELINE.md north star
+
+CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
+N_SYMBOLS = int(os.environ.get("BENCH_SYMBOLS", 4096))
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 16))
+MODE = os.environ.get("BENCH_MODE", "fused")  # fused | staged
+
+
+def main():
+    rates = Rates(baud_rate=1250, sample_rate=10000)  # sps = 8
+    chain = qpsk_reference_chain(rates)
+    bps = chain.scheme.bits_per_symbol
+
+    roundtrip = (chain.roundtrip_fused if MODE == "fused"
+                 else chain.roundtrip)
+
+    def run(blocks):
+        def body(carry, blk):
+            out = roundtrip(blk)
+            return carry, jnp.sum(out)
+        _, sums = jax.lax.scan(body, 0, blocks)
+        return jnp.sum(sums)
+
+    fn = jax.jit(run)
+
+    rng = np.random.default_rng(0)
+    blocks_np = rng.integers(
+        0, 2, (N_BLOCKS, CHANNELS, N_SYMBOLS * bps)
+    ).astype(np.int32)
+    blocks = jax.device_put(jnp.asarray(blocks_np))
+    jax.block_until_ready(blocks)
+    expect = int(blocks_np.sum())
+
+    fn(blocks).block_until_ready()  # compile
+    checksum = int(fn(blocks))      # absorb the first-sync tunnel anomaly
+    if checksum != expect:
+        print(json.dumps({"metric": "flagship_chain_samples_per_s",
+                          "value": 0.0, "unit": "samples/s",
+                          "vs_baseline": 0.0,
+                          "error": "bit errors in noiseless roundtrip"}))
+        return
+
+    samples = N_BLOCKS * CHANNELS * N_SYMBOLS * rates.samples_per_symbol
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        checksum = int(fn(blocks))
+        dt = time.perf_counter() - t0
+        if checksum == expect:
+            best = max(best, samples / dt)
+
+    print(json.dumps({
+        "metric": "flagship_chain_samples_per_s",
+        "value": round(best, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(best / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from .models.base import Scheme
 from .ops.fir import fir_filter
 from .ops.filters import rrc_taps
 from .ops.nco import carrier_phase, mix_up
+from .ops.polyphase import polyphase_decim, polyphase_interp
 from .ops.slicer import fm_discriminate, fsk_slice, lut_slice
 from .tx import Modulator
 from .utils.bits import pack_bits, unpack_symbols
@@ -58,6 +59,7 @@ class PulseShapedChain:
         beta: float = 0.35,
         carrier_hz: int | None = None,
         fir_backend: str = "direct",
+        polyphase: bool = False,
     ):
         if not hasattr(scheme, "lut"):
             raise TypeError("PulseShapedChain needs a constellation-LUT scheme")
@@ -68,6 +70,10 @@ class PulseShapedChain:
         self.rrc = rrc_taps(self.sps, span_symbols, beta)
         self.carrier_hz = carrier_hz
         self.fir_backend = fir_backend
+        #: polyphase=True computes pulse shaping at symbol rate and the
+        #: matched filter only at decision instants (sps-fold FLOP/traffic
+        #: reduction; same decisions up to f32 reassociation).
+        self.polyphase = polyphase
         self.lut = np.asarray(scheme.lut, np.float32)
 
     # ---- TX ----
@@ -81,6 +87,10 @@ class PulseShapedChain:
         iq = lut[symbols]  # [..., K, 2]
         flush = jnp.zeros(iq.shape[:-2] + (self.span, 2), iq.dtype)
         iq = jnp.concatenate([iq, flush], axis=-2)
+        if self.polyphase:
+            si, _ = polyphase_interp(iq[..., 0], self.rrc, self.sps)
+            sq, _ = polyphase_interp(iq[..., 1], self.rrc, self.sps)
+            return si, sq
         ui = upsample_zero_stuff(iq[..., 0], self.sps)
         uq = upsample_zero_stuff(iq[..., 1], self.sps)
         si, _ = fir_filter(ui, self.rrc, backend=self.fir_backend)
@@ -125,8 +135,13 @@ class PulseShapedChain:
             yi, yq = rx_wave
         else:
             yi, yq = self.downconvert(rx_wave)
-        yi, yq = self.matched_filter(yi, yq)
-        di, dq = self.decimate(yi, yq, n_symbols)
+        if self.polyphase:
+            d = self.span * self.sps
+            di = polyphase_decim(yi, self.rrc, self.sps, d, n_symbols)
+            dq = polyphase_decim(yq, self.rrc, self.sps, d, n_symbols)
+        else:
+            yi, yq = self.matched_filter(yi, yq)
+            di, dq = self.decimate(yi, yq, n_symbols)
         syms = lut_slice(di, dq, self.lut)
         return unpack_symbols(syms, self.scheme.bits_per_symbol)
 
@@ -134,6 +149,22 @@ class PulseShapedChain:
         """Noiseless bits -> bits (must be exactly equal for sane configs)."""
         k = bits.shape[-1] // self.scheme.bits_per_symbol
         return self.rx(self.tx(bits), k)
+
+    def roundtrip_fused(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """Noiseless bits -> bits through the single fused Pallas kernel
+        (:mod:`modem_tpu.ops.pallas_chain`): the full-rate waveform is
+        synthesized and matched-filtered entirely in VMEM, with HBM traffic
+        only for the bit tensors. Decisions match :meth:`roundtrip`."""
+        from .ops.pallas_chain import fused_pulse_chain
+
+        if self.carrier_hz is not None:
+            raise NotImplementedError("fused chain is baseband-only")
+        bps = self.scheme.bits_per_symbol
+        syms = pack_bits(bits, bps)
+        dec = fused_pulse_chain(
+            syms, self.lut, np.asarray(self.rrc), self.sps, self.span
+        )
+        return unpack_symbols(dec, bps)
 
 
 class FskChain:
