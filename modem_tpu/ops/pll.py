@@ -25,22 +25,31 @@ LOCK_SAMPLES = 64
 
 
 def pll_lock(
-    x: jnp.ndarray, theta: jnp.ndarray, gain: float = PLL_GAIN
+    xi: jnp.ndarray, xq: jnp.ndarray, theta: jnp.ndarray,
+    gain: float = PLL_GAIN
 ) -> jnp.ndarray:
-    """Run the PLL over analytic samples ``x`` (complex64 ``[..., n]``) against
-    carrier phases ``theta`` ``[n]``; returns the final phase offset ``[...]``.
+    """Run the PLL over analytic samples (``xi + j*xq``, split real planes —
+    complex dtypes are avoided throughout: the TPU compute path works on I/Q
+    plane pairs) against carrier phases ``theta`` ``[n]``; returns the final
+    phase offset ``[...]``.
+
+    err = arg(x * e^{-j(theta+phi)}) computed as atan2 of the rotated planes.
     """
 
     def step(phi, inp):
-        xs, th = inp
+        si, sq, th = inp
         inner = th + phi
-        err = jnp.angle(xs * jnp.exp(-1j * inner.astype(jnp.complex64)))
+        c, s = jnp.cos(inner), jnp.sin(inner)
+        err = jnp.arctan2(sq * c - si * s, si * c + sq * s)
         return phi + gain * err.astype(jnp.float32), None
 
     # scan over the sample axis; batch dims ride along in the carry.
-    if theta.ndim != 1 or theta.shape[0] != x.shape[-1]:
+    if theta.ndim != 1 or theta.shape[0] != xi.shape[-1]:
         raise ValueError("theta must be [n] matching x's last axis")
-    xt = jnp.moveaxis(x, -1, 0)
-    phi0 = jnp.zeros(x.shape[:-1], jnp.float32)
-    phi, _ = jax.lax.scan(step, phi0, (xt, theta.astype(jnp.float32)))
+    phi0 = jnp.zeros(xi.shape[:-1], jnp.float32)
+    phi, _ = jax.lax.scan(
+        step, phi0,
+        (jnp.moveaxis(xi, -1, 0), jnp.moveaxis(xq, -1, 0),
+         theta.astype(jnp.float32)),
+    )
     return phi

@@ -47,13 +47,14 @@ def diff_phase_slice(
     pair ``[..., 2]``; defaults to the DMPSK initial phase being unknown —
     callers should seed it with cos/sin of the TX's initial phase."""
     m = 1 << bits_per_symbol
-    y = i + 1j * q
     if prev is None:
-        prev_c = jnp.ones_like(y[..., :1])
+        pi_, pq_ = jnp.ones_like(i[..., :1]), jnp.zeros_like(q[..., :1])
     else:
-        prev_c = (prev[..., 0] + 1j * prev[..., 1])[..., None]
-    yprev = jnp.concatenate([prev_c, y[..., :-1]], axis=-1)
-    dphi = jnp.angle(y * jnp.conj(yprev))
+        pi_, pq_ = prev[..., 0][..., None], prev[..., 1][..., None]
+    ip = jnp.concatenate([pi_, i[..., :-1]], axis=-1)
+    qp = jnp.concatenate([pq_, q[..., :-1]], axis=-1)
+    # angle(y * conj(yprev)) in real planes (no complex dtypes on TPU).
+    dphi = jnp.arctan2(q * ip - i * qp, i * ip + q * qp)
     sym = jnp.round(dphi / shift).astype(jnp.int32) % m
     return sym
 
@@ -62,15 +63,16 @@ def fm_discriminate(
     i: jnp.ndarray, q: jnp.ndarray, prev: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """Instantaneous frequency (radians/sample) of a complex baseband signal:
-    angle(y[n] * conj(y[n-1])). ``prev``: previous block's last sample [..., 2].
+    angle(y[n] * conj(y[n-1])) computed on real I/Q planes (complex dtypes are
+    kept off the TPU path). ``prev``: previous block's last sample [..., 2].
     """
-    y = i + 1j * q
     if prev is None:
-        prev_c = y[..., :1]
+        pi_, pq_ = i[..., :1], q[..., :1]
     else:
-        prev_c = (prev[..., 0] + 1j * prev[..., 1])[..., None]
-    yprev = jnp.concatenate([prev_c, y[..., :-1]], axis=-1)
-    return jnp.angle(y * jnp.conj(yprev))
+        pi_, pq_ = prev[..., 0][..., None], prev[..., 1][..., None]
+    ip = jnp.concatenate([pi_, i[..., :-1]], axis=-1)
+    qp = jnp.concatenate([pq_, q[..., :-1]], axis=-1)
+    return jnp.arctan2(q * ip - i * qp, i * ip + q * qp)
 
 
 def fsk_slice(

@@ -84,21 +84,23 @@ class Demodulator:
         )
 
     def analytic(self, x: jnp.ndarray, state: RxState):
-        """x + j*H(x) (`demodulate.rs:31-34`). Note the reference applies no
-        group-delay compensation to the Hilbert arm; neither do we."""
+        """Analytic-signal planes ``(x, H(x))`` (`demodulate.rs:31-34`) — kept
+        as two real tensors; complex dtypes never enter the TPU path. The
+        reference applies no group-delay compensation to the Hilbert arm;
+        neither do we."""
         h, tail = fir_filter(x, self.hilbert, state.hilbert, self.fir_backend)
-        return x + 1j * h.astype(jnp.complex64), tail
+        return (x, h), tail
 
     def lock_phase(self, x: jnp.ndarray, state: RxState) -> RxState:
         """Consume ``LOCK_SAMPLES`` passband samples and acquire the carrier
         phase offset (`demodulator.rs:32-36`). ``x``: ``[..., 64]``."""
         if x.shape[-1] != LOCK_SAMPLES:
             raise ValueError(f"lock_phase needs exactly {LOCK_SAMPLES} samples")
-        sig, htail = self.analytic(x, state)
+        (si, sq), htail = self.analytic(x, state)
         theta = carrier_phase(
             self.carrier_hz, self.sample_rate, LOCK_SAMPLES, state.s_mod_sr
         )
-        phi = state.phase_offset + pll_lock(sig, theta)
+        phi = state.phase_offset + pll_lock(si, sq, theta)
         return RxState(
             s_mod_sr=(state.s_mod_sr + LOCK_SAMPLES) % self.sample_rate,
             phase_offset=phi,
