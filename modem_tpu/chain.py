@@ -30,7 +30,9 @@ from .ops.fir import fir_filter
 from .ops.filters import rrc_taps
 from .ops.nco import carrier_phase, mix_up
 from .ops.polyphase import polyphase_decim, polyphase_interp
-from .ops.slicer import fm_discriminate, fsk_slice, lut_slice
+from .ops.slicer import (
+    diff_phase_slice, fm_discriminate, fsk_slice, lut_slice,
+)
 from .tx import Modulator
 from .utils.bits import pack_bits, unpack_symbols
 
@@ -165,6 +167,77 @@ class PulseShapedChain:
             syms, self.lut, np.asarray(self.rrc), self.sps, self.span
         )
         return unpack_symbols(dec, bps)
+
+
+class DifferentialChain:
+    """Pulse-shaped chain for differential PSK (DBPSK/DQPSK, `dmpsk.rs`).
+
+    DMPSK has no static constellation (its phase accumulates), so TX maps
+    symbols through the scheme's phase-accumulating program to per-symbol I/Q,
+    and RX decides on the *phase change* between consecutive matched-filter
+    outputs (:func:`modem_tpu.ops.slicer.diff_phase_slice`) — differential
+    detection needs no absolute carrier phase, which is the scheme's point.
+    The first symbol is decided against the known TX initial phase
+    (`modulate.rs:86-90` passes phase pi/4).
+    """
+
+    def __init__(self, scheme, rates: Rates, span_symbols: int = 8,
+                 beta: float = 0.35, polyphase: bool = False):
+        from .models.psk import DMPSK
+
+        if not isinstance(scheme, DMPSK):
+            raise TypeError("DifferentialChain requires a DMPSK scheme")
+        self.scheme = scheme
+        self.rates = rates
+        self.span = span_symbols
+        self.sps = rates.samples_per_symbol
+        self.rrc = rrc_taps(self.sps, span_symbols, beta)
+        self.polyphase = polyphase
+
+    def tx(self, bits: jnp.ndarray):
+        symbols = pack_bits(bits, self.scheme.bits_per_symbol)
+        prog, _ = self.scheme.program(
+            symbols, self.scheme.init_state(symbols.shape[:-1]), self.rates, 0
+        )
+        iq = jnp.stack([prog.i, prog.q], axis=-1)  # [..., K, 2]
+        flush = jnp.zeros(iq.shape[:-2] + (self.span, 2), iq.dtype)
+        iq = jnp.concatenate([iq, flush], axis=-2)
+        if self.polyphase:
+            si, _ = polyphase_interp(iq[..., 0], self.rrc, self.sps)
+            sq, _ = polyphase_interp(iq[..., 1], self.rrc, self.sps)
+            return si, sq
+        ui = upsample_zero_stuff(iq[..., 0], self.sps)
+        uq = upsample_zero_stuff(iq[..., 1], self.sps)
+        si, _ = fir_filter(ui, self.rrc)
+        sq, _ = fir_filter(uq, self.rrc)
+        return si, sq
+
+    def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        yi, yq = rx_wave
+        d = self.span * self.sps
+        if self.polyphase:
+            di = polyphase_decim(yi, self.rrc, self.sps, d, n_symbols)
+            dq = polyphase_decim(yq, self.rrc, self.sps, d, n_symbols)
+        else:
+            yi, _ = fir_filter(yi, self.rrc)
+            yq, _ = fir_filter(yq, self.rrc)
+            idx = d + jnp.arange(n_symbols, dtype=jnp.int32) * self.sps
+            di, dq = yi[..., idx], yq[..., idx]
+        import math as _math
+
+        p0 = self.scheme.phase0_turns * 2.0 * _math.pi
+        prev = jnp.broadcast_to(
+            jnp.asarray([_math.cos(p0), _math.sin(p0)], jnp.float32),
+            di.shape[:-1] + (2,),
+        )
+        shift = self.scheme.shift_turns * 2.0 * _math.pi
+        syms = diff_phase_slice(di, dq, shift, self.scheme.bits_per_symbol,
+                                prev)
+        return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
+        k = bits.shape[-1] // self.scheme.bits_per_symbol
+        return self.rx(self.tx(bits), k)
 
 
 class FskChain:

@@ -1,0 +1,105 @@
+"""Rational sample-rate conversion: polyphase up/down resampler.
+
+New capability (SURVEY.md "What the reference is NOT": no resampler exists in
+the reference). Implements ``y = downsample_M(lowpass(upsample_L(x)))`` without
+ever materializing the upsampled stream, via the polyphase identity
+
+    y[m] = sum_k h[k*L + p_m] * x[b_m - k],   p_m = (m*M) mod L,
+                                              b_m = (m*M) div L.
+
+Outputs with the same phase ``r = m mod L`` form a decimated FIR on ``x``
+(stride M, offset ``b_r``), so each of the L phase branches is one
+:func:`modem_tpu.ops.polyphase.polyphase_decim` call — L symbol-rate passes,
+``len(h)/L`` MACs per branch output, all static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .polyphase import polyphase_decim
+
+
+def design_lowpass(num_taps: int, cutoff: float, beta: float = 8.0) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass; ``cutoff`` in (0, 1] of Nyquist."""
+    if not 0.0 < cutoff <= 1.0:
+        raise ValueError("cutoff must be in (0, 1]")
+    n = np.arange(num_taps) - (num_taps - 1) / 2.0
+    h = np.sinc(cutoff * n) * cutoff
+    h *= np.kaiser(num_taps, beta)
+    return (h / h.sum()).astype(np.float32)
+
+
+def resample_taps(up: int, down: int, taps_per_phase: int = 16,
+                  beta: float = 8.0) -> np.ndarray:
+    """Anti-aliasing/interpolation prototype for an up/down converter: cutoff
+    at the tighter of the two Nyquists, gain ``up`` (to preserve amplitude
+    through zero-stuffing)."""
+    num = up * taps_per_phase
+    h = design_lowpass(num, 1.0 / max(up, down), beta)
+    return (h * up).astype(np.float32)
+
+
+def rational_resample(
+    x: jnp.ndarray,
+    up: int,
+    down: int,
+    taps: np.ndarray | None = None,
+    taps_per_phase: int = 16,
+) -> jnp.ndarray:
+    """Resample ``x [..., N]`` by ``up/down``. Returns ``[..., N*up//down]``
+    (requires ``N*up % down == 0``); causal (no group-delay compensation),
+    zero initial history — the same conventions as the chain's filters.
+    """
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    if taps is None:
+        taps = resample_taps(up, down, taps_per_phase)
+    taps = np.asarray(taps, np.float32)
+    n = x.shape[-1]
+    if (n * up) % down:
+        raise ValueError(f"N*up ({n}*{up}) must divide by down ({down})")
+    n_out = n * up // down
+    if up == 1 and down == 1:
+        from .fir import fir_filter
+
+        return fir_filter(x, taps)[0]
+
+    # Phase branch r decides outputs m = r + t*up:
+    #   y_r[t] = sum_k h[k*up + p_r] * x[b_r + t*down - k]
+    pad = (-len(taps)) % up
+    h = np.concatenate([taps, np.zeros(pad, np.float32)])
+    branches = []
+    lengths = []
+    for r in range(up):
+        p_r = (r * down) % up
+        b_r = (r * down) // up
+        h_r = h[p_r::up]  # [taps_per_phase]
+        t_r = -(-(n_out - r) // up)  # outputs in this branch
+        lengths.append(t_r)
+        # polyphase_decim needs delay - j + (t_r-1)*down < n for all j; pad x
+        # on the right so every branch's last window fits (zeros = stream end).
+        need = b_r + (t_r - 1) * down + 1
+        xr = x
+        if need > n:
+            xr = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
+            )
+        branches.append(
+            polyphase_decim(xr, h_r, down, b_r, t_r) if len(h_r) else None
+        )
+    # Interleave branches: output m = r + t*up.
+    t_max = max(lengths)
+    cols = []
+    for r, (br, t_r) in enumerate(zip(branches, lengths)):
+        if t_r < t_max:
+            br = jnp.concatenate(
+                [br, jnp.zeros(br.shape[:-1] + (t_max - t_r,), br.dtype)],
+                axis=-1,
+            )
+        cols.append(br)
+    y = jnp.stack(cols, axis=-1).reshape(x.shape[:-1] + (t_max * up,))
+    return y[..., :n_out]

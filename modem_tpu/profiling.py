@@ -1,0 +1,85 @@
+"""Tracing / roofline accounting (SURVEY.md section 5: the reference has no
+timers or counters anywhere; here throughput and roofline utilization are
+first-class outputs).
+
+Notes for this environment: the TPU sits behind an async tunnel whose
+``block_until_ready`` can report completion before remote execution finishes.
+:func:`measure` therefore times a device-side ``lax.scan`` over repetitions
+and fetches a derived scalar — the same methodology as ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``jax.profiler`` trace context; open the result with Perfetto/XProf."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass(frozen=True)
+class Measurement:
+    seconds_per_call: float
+    samples_per_s: float
+    flops_per_s: float | None
+    bytes_per_s: float | None
+
+    def summary(self) -> str:
+        parts = [f"{self.seconds_per_call * 1e3:.3f} ms/call",
+                 f"{self.samples_per_s / 1e9:.3f} Gsamp/s"]
+        if self.flops_per_s is not None:
+            parts.append(f"{self.flops_per_s / 1e12:.3f} TFLOP/s")
+        if self.bytes_per_s is not None:
+            parts.append(f"{self.bytes_per_s / 1e9:.1f} GB/s")
+        return "  ".join(parts)
+
+
+def measure(
+    fn,
+    args_per_rep: tuple,
+    samples_per_call: int,
+    flops_per_call: int | None = None,
+    bytes_per_call: int | None = None,
+) -> Measurement:
+    """Time ``fn`` with the device-side repetition loop.
+
+    ``args_per_rep``: a tuple of arrays each with a leading repetition axis —
+    the loop body scans over *distinct* inputs, so XLA cannot hoist the call
+    out of the loop (a constant-args loop would be loop-invariant and measure
+    nothing). ``fn`` must return an array (its sum becomes the checksum).
+    """
+    reps = jax.tree_util.tree_leaves(args_per_rep)[0].shape[0]
+
+    def run(a):
+        def body(carry, blk):
+            out = fn(*blk)
+            return carry + jnp.sum(out).astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), a)
+        return acc
+
+    jitted = jax.jit(run)
+    jitted(args_per_rep).block_until_ready()  # compile
+    float(jitted(args_per_rep))               # absorb first-sync anomaly
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(jitted(args_per_rep))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return Measurement(
+        seconds_per_call=best,
+        samples_per_s=samples_per_call / best,
+        flops_per_s=None if flops_per_call is None else flops_per_call / best,
+        bytes_per_s=None if bytes_per_call is None else bytes_per_call / best,
+    )

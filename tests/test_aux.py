@@ -1,0 +1,84 @@
+"""Auxiliary subsystems: differential chain, checkpoint/resume, profiling."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from modem_tpu import Modulator, Rates, make_scheme
+from modem_tpu.chain import DifferentialChain
+from modem_tpu.checkpoint import load_state, save_state
+from modem_tpu.profiling import measure
+
+RATES = Rates(baud_rate=1250, sample_rate=10000)
+
+
+class TestDifferentialChain:
+    @pytest.mark.parametrize("name", ["dqpsk", "dbpsk"])
+    @pytest.mark.parametrize("polyphase", [False, True])
+    def test_roundtrip_exact(self, name, polyphase):
+        scheme = make_scheme(name, RATES)
+        chain = DifferentialChain(scheme, RATES, polyphase=polyphase)
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(
+            rng.integers(0, 2, (3, 128 * scheme.bits_per_symbol)), jnp.int32
+        )
+        out = chain.roundtrip(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_rejects_non_differential(self):
+        with pytest.raises(TypeError):
+            DifferentialChain(make_scheme("qpsk", RATES), RATES)
+
+
+class TestCheckpoint:
+    def test_stream_resume_bitstable(self, tmp_path):
+        """Pause mid-stream, reload in a 'new process', waveform identical."""
+        scheme = make_scheme("mfsk", RATES)
+        mod = Modulator(scheme, RATES)
+        rng = np.random.default_rng(1)
+        bits = jnp.asarray(rng.integers(0, 2, 4 * 64), jnp.int32)
+
+        (full_i, full_q), _ = mod.baseband(bits, mod.init_state())
+
+        (i1, q1), st = mod.baseband(bits[: 4 * 32], mod.init_state())
+        path = tmp_path / "stream.npz"
+        save_state(path, st)
+        st2 = load_state(path, mod.init_state())
+        (i2, q2), _ = mod.baseband(bits[4 * 32:], st2)
+
+        np.testing.assert_array_equal(
+            np.asarray(jnp.concatenate([i1, i2], -1)), np.asarray(full_i)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jnp.concatenate([q1, q2], -1)), np.asarray(full_q)
+        )
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        mod = Modulator(make_scheme("mfsk", RATES), RATES)
+        path = tmp_path / "s.npz"
+        save_state(path, mod.init_state())
+        with pytest.raises(ValueError):
+            load_state(path, mod.init_state(batch_shape=(4,)))
+
+    def test_rx_state_roundtrip(self, tmp_path):
+        from modem_tpu.rx import Demodulator
+
+        demod = Demodulator(900, 10000)
+        st = demod.init_state((2,))
+        path = tmp_path / "rx.npz"
+        save_state(path, st)
+        st2 = load_state(path, demod.init_state((2,)))
+        for a, b in zip(
+            np.asarray(st.phase_offset), np.asarray(st2.phase_offset)
+        ):
+            assert a == b
+
+
+class TestMeasure:
+    def test_measure_runs(self):
+        x = jnp.ones((4, 8, 128), jnp.float32)
+        m = measure(lambda b: b * 2.0, (x,), samples_per_call=8 * 128)
+        assert m.seconds_per_call > 0
+        assert m.samples_per_s > 0
+        assert "Gsamp/s" in m.summary()
