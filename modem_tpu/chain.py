@@ -157,15 +157,23 @@ class PulseShapedChain:
         (:mod:`modem_tpu.ops.pallas_chain`): the full-rate waveform is
         synthesized and matched-filtered entirely in VMEM, with HBM traffic
         only for the bit tensors. Decisions match :meth:`roundtrip`."""
-        from .ops.pallas_chain import fused_pulse_chain
+        from .models.qam import QAM
+        from .ops.pallas_chain import fused_pulse_chain, fused_pulse_chain_qam
 
         if self.carrier_hz is not None:
             raise NotImplementedError("fused chain is baseband-only")
         bps = self.scheme.bits_per_symbol
         syms = pack_bits(bits, bps)
-        dec = fused_pulse_chain(
-            syms, self.lut, np.asarray(self.rrc), self.sps, self.span
-        )
+        if isinstance(self.scheme, QAM) and bps % 2 == 0:
+            # algebraic map/slice: O(1) in constellation size (256-QAM etc.)
+            dec = fused_pulse_chain_qam(
+                syms, bps, self.scheme.phase, self.scheme.amplitude,
+                np.asarray(self.rrc), self.sps, self.span,
+            )
+        else:
+            dec = fused_pulse_chain(
+                syms, self.lut, np.asarray(self.rrc), self.sps, self.span
+            )
         return unpack_symbols(dec, bps)
 
 

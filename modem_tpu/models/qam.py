@@ -24,6 +24,8 @@ class QAM(Scheme):
         if bits_per_symbol <= 1:
             raise ValueError("QAM needs at least one bit per carrier")
         self.bits_per_symbol = bits_per_symbol
+        self.phase = phase
+        self.amplitude = amplitude
         cs = bits_per_symbol // 2
         ms = float(max_symbol(cs))
         a = amplitude / ms / 2.0

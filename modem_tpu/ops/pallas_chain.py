@@ -20,6 +20,14 @@ maps offset by one time block; beyond-stream regions are masked to **zero
 I/Q**, which is exactly the zero start state and zero-symbol flush of
 :class:`modem_tpu.chain.PulseShapedChain`.
 
+Two constellation paths share the filter core:
+
+* ``lut`` — arbitrary constellations up to 64 points; the gather is a select
+  cascade and slicing is a min-distance loop (O(M) VPU passes).
+* ``qam`` — square QAM of any even bits-per-symbol (incl. 256-QAM):
+  map and slice are *algebraic* in the bit halves (`qam.rs:32-38` grid
+  levels + rotation, inverted exactly for slicing), O(1) in M.
+
 Numerics match the staged chain to f32 reassociation; decisions agree exactly
 in practice (tested).
 """
@@ -27,6 +35,7 @@ in practice (tested).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -45,15 +54,77 @@ def _auto_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+# -- constellation map / slice pairs ----------------------------------------
+
+def _lut_map(syms, valid, lut):
+    zi = jnp.zeros(syms.shape, jnp.float32)
+    zq = jnp.zeros(syms.shape, jnp.float32)
+    for m, (ci, cq) in enumerate(lut):
+        hit = valid & (syms == m)
+        zi = jnp.where(hit, ci, zi)
+        zq = jnp.where(hit, cq, zq)
+    return zi, zq
+
+
+def _lut_slice(ai, aq, lut):
+    best = jnp.zeros(ai.shape, jnp.int32)
+    best_d = jnp.full(ai.shape, np.inf, jnp.float32)
+    for m, (ci, cq) in enumerate(lut):
+        dist = (ai - ci) ** 2 + (aq - cq) ** 2
+        best = jnp.where(dist < best_d, m, best)
+        best_d = jnp.minimum(dist, best_d)
+    return best
+
+
+def _qam_map(syms, valid, qp):
+    """Square QAM evaluated from the bit halves (`qam.rs:32-38` + rotation):
+    i = a*(pm*cos - pl*sin), q = a*(pl*cos + pm*sin), p = 2*half - max."""
+    cshift, ms, a, c, s = qp
+    msb = (syms >> cshift).astype(jnp.float32)
+    lsb = (syms & ((1 << cshift) - 1)).astype(jnp.float32)
+    pm = 2.0 * msb - ms
+    plv = 2.0 * lsb - ms
+    zi = jnp.where(valid, a * (pm * c - plv * s), 0.0)
+    zq = jnp.where(valid, a * (plv * c + pm * s), 0.0)
+    return zi, zq
+
+
+def _qam_slice(ai, aq, qp):
+    """Exact inverse of :func:`_qam_map`: un-rotate, quantize each half."""
+    cshift, ms, a, c, s = qp
+    pm = (ai * c + aq * s) / a
+    plv = (aq * c - ai * s) / a
+    msb = jnp.clip(jnp.round((pm + ms) * 0.5), 0, ms).astype(jnp.int32)
+    lsb = jnp.clip(jnp.round((plv + ms) * 0.5), 0, ms).astype(jnp.int32)
+    return (msb << cshift) | lsb
+
+
+# -- the fused kernel --------------------------------------------------------
+
+def _gauss_pair(shape):
+    """Standard-normal pair via Box-Muller from the on-core PRNG."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24 mantissa-quality bits -> uniform in (0, 1), never exactly 0.
+    # (Mosaic has no uint32->f32 cast; the >>8 makes the value fit int32.)
+    i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
+    u1 = (i1.astype(jnp.float32) + 0.5) * (2.0 ** -24)
+    u2 = (i2.astype(jnp.float32) + 0.5) * (2.0 ** -24)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = (2.0 * np.pi) * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
 def _chain_kernel(
-    prev_ref, curr_ref, next_ref, o_ref, *,
-    lut: tuple, bank: tuple, taps: tuple, sps: int, span: int,
-    cs: int, k_real: int,
+    *refs,
+    mode: str, mparams, bank: tuple, taps: tuple, sps: int, span: int,
+    cs: int, k_real: int, sigma: float | None = None,
 ):
-    """One (channels, time) tile of the fused chain. Static args:
-    ``lut``: ((i, q), ...) constellation; ``bank``: polyphase rows
-    ``bank[p][k]``; ``taps``: matched-filter taps; ``cs``: symbols per tile;
-    ``k_real``: unpadded global symbol count."""
+    if sigma is None:
+        prev_ref, curr_ref, next_ref, o_ref = refs
+    else:
+        seed_ref, prev_ref, curr_ref, next_ref, o_ref = refs
     kp = len(bank[0])  # taps per polyphase branch
     ext_l, ext_r = span, span + 1
     t = pl.program_id(1)
@@ -62,18 +133,14 @@ def _chain_kernel(
         [prev_ref[cs - ext_l:, :], curr_ref[:, :], next_ref[:ext_r, :]], axis=0
     )  # [cs + ext_l + ext_r, C] int32
 
-    # Constellation gather as selects (small LUTs), masked to zero I/Q outside
-    # the real stream: left of sample 0 = zero initial state, right of k_real
-    # = the flush tail.
+    # Zero I/Q outside the real stream: left of sample 0 = zero initial
+    # state, right of k_real = the flush tail.
     rows = jax.lax.broadcasted_iota(jnp.int32, syms.shape, 0)
     g = t * cs + rows - ext_l
     valid = (g >= 0) & (g < k_real)
-    zi = jnp.zeros(syms.shape, jnp.float32)
-    zq = jnp.zeros(syms.shape, jnp.float32)
-    for m, (ci, cq) in enumerate(lut):
-        hit = valid & (syms == m)
-        zi = jnp.where(hit, ci, zi)
-        zq = jnp.where(hit, cq, zq)
+    map_fn = _lut_map if mode == "lut" else _qam_map
+    slice_fn = _lut_slice if mode == "lut" else _qam_slice
+    zi, zq = map_fn(syms, valid, mparams)
 
     # Polyphase interpolation: wp[p][m8] = sum_k bank[p][k] * iq[m8 - k],
     # for m8 in [0, cs + span]; iq index offset by ext_l.
@@ -92,6 +159,20 @@ def _chain_kernel(
         wip.append(ai)
         wqp.append(aq)
 
+    if sigma is not None:
+        # AWGN on the full-rate waveform in VMEM (the matched filter below
+        # then shapes it, as in the staged chain). Each (channel-tile, time-
+        # tile) draws an independent stream; the span-symbol lookahead rows
+        # get this tile's draw rather than the neighbor's — statistically
+        # identical per decision, since every symbol is decided exactly once.
+        pltpu.prng_seed(seed_ref[0, 0]
+                        + pl.program_id(0) * 1000003
+                        + pl.program_id(1) * 7919)
+        for p in range(sps):
+            gi, gq = _gauss_pair(wip[p].shape)
+            wip[p] = wip[p] + sigma * gi
+            wqp[p] = wqp[p] + sigma * gq
+
     # Matched filter + decimation at decision instants:
     # z[m] = sum_j taps[j] * w[m*sps + span*sps - j]  ->  per-j phase slice.
     d = span * sps
@@ -103,22 +184,16 @@ def _chain_kernel(
         acc_i = acc_i + taps[j] * wip[p][q: q + cs, :]
         acc_q = acc_q + taps[j] * wqp[p][q: q + cs, :]
 
-    # Min-distance slicing over the constellation.
-    best = jnp.zeros((cs, zi.shape[1]), jnp.int32)
-    best_d = jnp.full((cs, zi.shape[1]), np.inf, jnp.float32)
-    for m, (ci, cq) in enumerate(lut):
-        dist = (acc_i - ci) ** 2 + (acc_q - cq) ** 2
-        best = jnp.where(dist < best_d, m, best)
-        best_d = jnp.minimum(dist, best_d)
-    o_ref[:, :] = best
+    o_ref[:, :] = slice_fn(acc_i, acc_q, mparams)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lut", "bank", "taps", "sps", "span", "cs", "k_real",
-                     "interpret"),
+    static_argnames=("mode", "mparams", "bank", "taps", "sps", "span", "cs",
+                     "k_real", "interpret", "sigma"),
 )
-def _fused_tmajor(syms, lut, bank, taps, sps, span, cs, k_real, interpret):
+def _fused_tmajor(syms, seed, mode, mparams, bank, taps, sps, span, cs,
+                  k_real, interpret, sigma):
     k_pad, c = syms.shape
     grid = (c // LANE, k_pad // cs)
     bs = lambda off: pl.BlockSpec(
@@ -126,39 +201,29 @@ def _fused_tmajor(syms, lut, bank, taps, sps, span, cs, k_real, interpret):
         lambda ci, t, off=off: (jnp.clip(t + off, 0, k_pad // cs - 1), ci),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [bs(-1), bs(0), bs(1)]
+    args = (syms, syms, syms)
+    if sigma is not None:
+        in_specs = [pl.BlockSpec((1, 1), lambda ci, t: (0, 0),
+                                 memory_space=pltpu.SMEM)] + in_specs
+        args = (seed.reshape(1, 1).astype(jnp.int32),) + args
     return pl.pallas_call(
         functools.partial(
-            _chain_kernel, lut=lut, bank=bank, taps=taps, sps=sps, span=span,
-            cs=cs, k_real=k_real,
+            _chain_kernel, mode=mode, mparams=mparams, bank=bank, taps=taps,
+            sps=sps, span=span, cs=cs, k_real=k_real, sigma=sigma,
         ),
         out_shape=jax.ShapeDtypeStruct((k_pad, c), jnp.int32),
         grid=grid,
-        in_specs=[bs(-1), bs(0), bs(1)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(syms, syms, syms)
+    )(*args)
 
 
-def fused_pulse_chain(
-    symbols: jnp.ndarray,
-    lut: np.ndarray,
-    rrc_taps: np.ndarray,
-    sps: int,
-    span: int,
-    chunk_sym: int = DEFAULT_CHUNK_SYM,
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """Noiseless loopback of the pulse-shaped chain, fused in VMEM.
-
-    ``symbols``: ``[..., K]`` int32 constellation indices. Returns the decided
-    ``[..., K]`` int32 symbols — bit-identical in practice to
-    ``PulseShapedChain`` tx->rx at infinite SNR.
-    """
-    lut = np.asarray(lut, np.float32)
-    if lut.shape[0] > 64:
-        raise ValueError("fused kernel supports constellations up to 64 points")
-    taps = _as_f32(rrc_taps)
+def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
+               sigma=None, seed=None):
+    taps = _as_f32(rrc)
     if len(taps) != span * sps + 1:
         raise ValueError("rrc taps length must equal span*sps + 1")
     if chunk_sym < span + 1:
@@ -175,11 +240,78 @@ def fused_pulse_chain(
     c_pad = (-c) % LANE
     st = jnp.pad(flat.T, ((0, k_pad), (0, c_pad)))
 
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
     out = _fused_tmajor(
-        st,
-        tuple((float(i), float(q)) for i, q in lut),
+        st, jnp.asarray(seed, jnp.int32), mode, mparams,
         tuple(tuple(float(v) for v in row) for row in bank),
         tuple(float(v) for v in taps),
         sps, span, chunk_sym, k, interpret,
+        None if sigma is None else float(sigma),
     )
     return out[:k, :c].T.reshape(batch_shape + (k,))
+
+
+def fused_pulse_chain(
+    symbols: jnp.ndarray,
+    lut: np.ndarray,
+    rrc_taps: np.ndarray,
+    sps: int,
+    span: int,
+    chunk_sym: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+    snr_db: float | None = None,
+    seed=None,
+) -> jnp.ndarray:
+    """Loopback of the pulse-shaped chain, fused in VMEM.
+
+    ``symbols``: ``[..., K]`` int32 constellation indices. Returns the decided
+    ``[..., K]`` int32 symbols — at infinite SNR (``snr_db=None``)
+    bit-identical in practice to ``PulseShapedChain`` tx->rx. With ``snr_db``
+    (Es/N0 in dB, Es = mean constellation energy; the RRC is unit-energy so
+    the decision-point SNR equals Es/N0 up to truncation ISI), AWGN is drawn
+    on the full-rate waveform *inside the kernel* by the on-core PRNG and the
+    matched filter processes signal+noise. For >64-point square QAM use
+    :func:`fused_pulse_chain_qam`.
+    """
+    lut = np.asarray(lut, np.float32)
+    if lut.shape[0] > 64:
+        raise ValueError("lut path supports up to 64 points; use the qam path")
+    mparams = tuple((float(i), float(q)) for i, q in lut)
+    sigma = None
+    if snr_db is not None:
+        es = float(np.mean(np.sum(lut * lut, axis=-1)))
+        sigma = math.sqrt(es / (10.0 ** (snr_db / 10.0)) / 2.0)
+    return _run_fused(symbols, "lut", mparams, rrc_taps, sps, span,
+                      chunk_sym, interpret, sigma, seed)
+
+
+def fused_pulse_chain_qam(
+    symbols: jnp.ndarray,
+    bits_per_symbol: int,
+    phase: float,
+    amplitude: float,
+    rrc_taps: np.ndarray,
+    sps: int,
+    span: int,
+    chunk_sym: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+    snr_db: float | None = None,
+    seed=None,
+) -> jnp.ndarray:
+    """Fused chain for square QAM (even ``bits_per_symbol``, incl. 256-QAM):
+    constellation map and slicer are algebraic in the MSB/LSB halves, O(1)
+    in constellation size. ``snr_db`` as in :func:`fused_pulse_chain`."""
+    if bits_per_symbol % 2:
+        raise ValueError("square QAM needs even bits_per_symbol")
+    cshift = bits_per_symbol // 2
+    ms = float((1 << cshift) - 1)
+    a = amplitude / ms / 2.0
+    mparams = (cshift, ms, float(a), math.cos(phase), math.sin(phase))
+    sigma = None
+    if snr_db is not None:
+        levels = 2.0 * np.arange(int(ms) + 1) - ms
+        es = float(a * a * 2.0 * np.mean(levels**2))
+        sigma = math.sqrt(es / (10.0 ** (snr_db / 10.0)) / 2.0)
+    return _run_fused(symbols, "qam", mparams, rrc_taps, sps, span,
+                      chunk_sym, interpret, sigma, seed)

@@ -77,3 +77,14 @@ class TestFusedChain:
         syms = jnp.zeros((4, 64), jnp.int32)
         with pytest.raises(ValueError):
             fused_pulse_chain(syms, np.zeros((256, 2)), np.zeros(65), 8, 8)
+
+    @pytest.mark.parametrize("bps,phase", [(8, 0.0), (4, 0.3), (8, 0.7)])
+    def test_qam_algebraic_path(self, bps, phase):
+        """256-QAM (and rotated QAM) through the O(1)-in-M fused path."""
+        chain = PulseShapedChain(QAM(bps, phase, 6.0), RATES)
+        rng = np.random.default_rng(4)
+        bits = jnp.asarray(rng.integers(0, 2, (3, 300 * bps)), jnp.int32)
+        fused = chain.roundtrip_fused(bits)
+        np.testing.assert_array_equal(np.asarray(fused),
+                                      np.asarray(chain.roundtrip(bits)))
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(bits))
