@@ -134,10 +134,12 @@ def _chain_kernel(
     )  # [cs + ext_l + ext_r, C] int32
 
     # Zero I/Q outside the real stream: left of sample 0 = zero initial
-    # state, right of k_real = the flush tail.
+    # state, right of k_real = the flush tail. Negative symbol values are a
+    # caller-provided sentinel for "no symbol here" (zero I/Q) — used by the
+    # sharded wrapper to mark beyond-stream halo positions.
     rows = jax.lax.broadcasted_iota(jnp.int32, syms.shape, 0)
     g = t * cs + rows - ext_l
-    valid = (g >= 0) & (g < k_real)
+    valid = (g >= 0) & (g < k_real) & (syms >= 0)
     map_fn = _lut_map if mode == "lut" else _qam_map
     slice_fn = _lut_slice if mode == "lut" else _qam_slice
     zi, zq = map_fn(syms, valid, mparams)

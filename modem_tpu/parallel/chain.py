@@ -162,3 +162,68 @@ class ShardedPulseChain:
         return jax.device_put(
             bits, NamedSharding(self.mesh, P("ch", "time"))
         )
+
+    # -- fused-kernel path: shard_map over chips, one Pallas kernel inside ---
+
+    def _local_fused(self, bits_l, seed, snr_db):
+        """Per-device fused chain with symbol halos exchanged via ppermute.
+
+        The kernel needs ``span`` symbols of left context and ``span+1`` of
+        right context; beyond-stream positions are marked with the kernel's
+        ``-1`` zero-I/Q sentinel (start state / flush). Halo decisions are
+        recomputed locally and trimmed, so every symbol is decided once with
+        full context — noiseless decisions exactly match the single-device
+        fused kernel.
+        """
+        from ..ops.pallas_chain import fused_pulse_chain
+        from ..utils.bits import pack_bits as _pack, unpack_symbols as _unpack
+
+        ch = self.chain
+        span = ch.span
+        bps = ch.scheme.bits_per_symbol
+        syms = _pack(bits_l, bps)
+        t = jax.lax.axis_index("time")
+        left = left_halo(syms, span, "time")
+        right = right_halo(syms, span + 1, "time")
+        left = jnp.where(t == 0, -1, left)
+        right = jnp.where(t == self.t_dev - 1, -1, right)
+        ext = jnp.concatenate([left, syms, right], axis=-1)
+        dev_seed = None
+        if snr_db is not None:
+            dev_seed = (jnp.asarray(seed, jnp.int32)
+                        + t * jnp.int32(104729)
+                        + jax.lax.axis_index("ch") * jnp.int32(15485863))
+        dec = fused_pulse_chain(
+            ext, ch.lut, np.asarray(ch.rrc), ch.sps, span,
+            snr_db=snr_db, seed=dev_seed,
+        )
+        dec = dec[..., span: span + syms.shape[-1]]
+        return _unpack(dec, bps)
+
+    def fused_roundtrip_fn(self, snr_db: float | None = None):
+        """jit(f(bits, seed) -> decided bits): the fused Pallas kernel on
+        every device, stitched with ppermute symbol halos."""
+        spec = P("ch", "time")
+        fn = jax.shard_map(
+            lambda b, s: self._local_fused(b, s, snr_db),
+            mesh=self.mesh, in_specs=(spec, P()), out_specs=spec,
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def fused_ber_fn(self, snr_db: float):
+        """jit(f(bits, seed) -> (errors, total)) through the fused kernel
+        with in-kernel AWGN and a global psum."""
+        spec = P("ch", "time")
+
+        def step(bits, seed):
+            out = self._local_fused(bits, seed, snr_db)
+            err = jnp.sum((out != bits).astype(jnp.int32))
+            tot = jnp.int32(bits.size)
+            err = jax.lax.psum(jax.lax.psum(err, "time"), "ch")
+            tot = jax.lax.psum(jax.lax.psum(tot, "time"), "ch")
+            return err, tot
+
+        fn = jax.shard_map(step, mesh=self.mesh, in_specs=(spec, P()),
+                           out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)

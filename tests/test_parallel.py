@@ -105,6 +105,18 @@ class TestShardedChain:
         assert int(tot) == bits.size
         assert int(err) == 0  # 20 dB is far above QPSK threshold
 
+    def test_fused_kernel_sharded_exact(self, mesh8):
+        """Fused Pallas kernel per device + ppermute symbol halos: decisions
+        exactly equal the single-device fused kernel and the input bits."""
+        chain = qpsk_reference_chain(RATES)
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=96, channels=4, seed=11)
+        out = sharded.fused_roundtrip_fn()(sharded.shard_bits(bits),
+                                           jnp.int32(0))
+        single = chain.roundtrip_fused(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
     def test_ber_step_low_snr_has_errors(self, mesh8):
         chain = qpsk_reference_chain(RATES)
         sharded = ShardedPulseChain(chain, mesh8)
