@@ -116,6 +116,11 @@ def _gauss_pair(shape):
     return r * jnp.cos(ang), r * jnp.sin(ang)
 
 
+#: halo block height (sublane rows); >= span+1 and a valid tile height for
+#: every symbol dtype (int8 needs 32).
+HALO_ROWS = 32
+
+
 def _chain_kernel(
     *refs,
     mode: str, mparams, bank: tuple, taps: tuple, sps: int, span: int,
@@ -129,9 +134,13 @@ def _chain_kernel(
     ext_l, ext_r = span, span + 1
     t = pl.program_id(1)
 
+    # prev/next are HALO_ROWS-row windows adjacent to the current block (not
+    # whole neighbor blocks — the halo is tiny, so reading full blocks would
+    # triple the kernel's HBM traffic for 17 useful rows).
     syms = jnp.concatenate(
-        [prev_ref[cs - ext_l:, :], curr_ref[:, :], next_ref[:ext_r, :]], axis=0
-    )  # [cs + ext_l + ext_r, C] int32
+        [prev_ref[HALO_ROWS - ext_l:, :], curr_ref[:, :], next_ref[:ext_r, :]],
+        axis=0,
+    ).astype(jnp.int32)  # [cs + ext_l + ext_r, C]
 
     # Zero I/Q outside the real stream: left of sample 0 = zero initial
     # state, right of k_real = the flush tail. Negative symbol values are a
@@ -144,10 +153,24 @@ def _chain_kernel(
     slice_fn = _lut_slice if mode == "lut" else _qam_slice
     zi, zq = map_fn(syms, valid, mparams)
 
-    # Polyphase interpolation: wp[p][m8] = sum_k bank[p][k] * iq[m8 - k],
-    # for m8 in [0, cs + span]; iq index offset by ext_l.
+    if sigma is not None:
+        pltpu.prng_seed(seed_ref[0, 0]
+                        + pl.program_id(0) * 1000003
+                        + pl.program_id(1) * 7919)
+
+    # Polyphase interpolation + matched-filter decimation, one phase at a
+    # time so only one phase's waveform is live in VMEM (8x smaller working
+    # set -> large time tiles fit, amortizing per-tile overhead):
+    #   w_p[m8] = sum_k bank[p][k] * iq[m8 - k]           (the waveform)
+    #   z[m]   += sum_{j: (d-j) % sps == p} taps[j] * w_p[(d-j)//sps + m]
     n8 = cs + span + 1
-    wip, wqp = [], []
+    d = span * sps
+    by_phase = [[] for _ in range(sps)]
+    for j in range(len(taps)):
+        a = d - j
+        by_phase[a % sps].append((j, a // sps))
+    acc_i = jnp.zeros((cs, zi.shape[1]), jnp.float32)
+    acc_q = jnp.zeros((cs, zi.shape[1]), jnp.float32)
     for p in range(sps):
         ai = jnp.zeros((n8, zi.shape[1]), jnp.float32)
         aq = jnp.zeros((n8, zi.shape[1]), jnp.float32)
@@ -158,35 +181,20 @@ def _chain_kernel(
             sl = slice(ext_l - k, ext_l - k + n8)
             ai = ai + b * zi[sl, :]
             aq = aq + b * zq[sl, :]
-        wip.append(ai)
-        wqp.append(aq)
+        if sigma is not None:
+            # AWGN on the full-rate waveform in VMEM (the matched filter
+            # below then shapes it, as in the staged chain). Each tile draws
+            # an independent stream; the span-symbol lookahead rows get this
+            # tile's draw rather than the neighbor's — statistically
+            # identical per decision (every symbol is decided exactly once).
+            gi, gq = _gauss_pair(ai.shape)
+            ai = ai + sigma * gi
+            aq = aq + sigma * gq
+        for j, q in by_phase[p]:
+            acc_i = acc_i + taps[j] * ai[q: q + cs, :]
+            acc_q = acc_q + taps[j] * aq[q: q + cs, :]
 
-    if sigma is not None:
-        # AWGN on the full-rate waveform in VMEM (the matched filter below
-        # then shapes it, as in the staged chain). Each (channel-tile, time-
-        # tile) draws an independent stream; the span-symbol lookahead rows
-        # get this tile's draw rather than the neighbor's — statistically
-        # identical per decision, since every symbol is decided exactly once.
-        pltpu.prng_seed(seed_ref[0, 0]
-                        + pl.program_id(0) * 1000003
-                        + pl.program_id(1) * 7919)
-        for p in range(sps):
-            gi, gq = _gauss_pair(wip[p].shape)
-            wip[p] = wip[p] + sigma * gi
-            wqp[p] = wqp[p] + sigma * gq
-
-    # Matched filter + decimation at decision instants:
-    # z[m] = sum_j taps[j] * w[m*sps + span*sps - j]  ->  per-j phase slice.
-    d = span * sps
-    acc_i = jnp.zeros((cs, zi.shape[1]), jnp.float32)
-    acc_q = jnp.zeros((cs, zi.shape[1]), jnp.float32)
-    for j in range(len(taps)):
-        a = d - j
-        p, q = a % sps, a // sps
-        acc_i = acc_i + taps[j] * wip[p][q: q + cs, :]
-        acc_q = acc_q + taps[j] * wqp[p][q: q + cs, :]
-
-    o_ref[:, :] = slice_fn(acc_i, acc_q, mparams)
+    o_ref[:, :] = slice_fn(acc_i, acc_q, mparams).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -197,13 +205,27 @@ def _chain_kernel(
 def _fused_tmajor(syms, seed, mode, mparams, bank, taps, sps, span, cs,
                   k_real, interpret, sigma):
     k_pad, c = syms.shape
+    hb = HALO_ROWS
+    n_halo = k_pad // hb
+    r = cs // hb
     grid = (c // LANE, k_pad // cs)
-    bs = lambda off: pl.BlockSpec(
-        (cs, LANE),
-        lambda ci, t, off=off: (jnp.clip(t + off, 0, k_pad // cs - 1), ci),
+    curr = pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                        memory_space=pltpu.VMEM)
+    # Halo windows in units of HALO_ROWS: the hb rows just before / after the
+    # current cs-row block. Reading whole neighbor blocks instead would
+    # triple the kernel's HBM input traffic for 17 useful rows; edge clipping
+    # is made irrelevant by the kernel's global-index mask.
+    prev = pl.BlockSpec(
+        (hb, LANE),
+        lambda ci, t: (jnp.clip(t * r - 1, 0, n_halo - 1), ci),
         memory_space=pltpu.VMEM,
     )
-    in_specs = [bs(-1), bs(0), bs(1)]
+    nxt = pl.BlockSpec(
+        (hb, LANE),
+        lambda ci, t: (jnp.clip((t + 1) * r, 0, n_halo - 1), ci),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [prev, curr, nxt]
     args = (syms, syms, syms)
     if sigma is not None:
         in_specs = [pl.BlockSpec((1, 1), lambda ci, t: (0, 0),
@@ -214,7 +236,7 @@ def _fused_tmajor(syms, seed, mode, mparams, bank, taps, sps, span, cs,
             _chain_kernel, mode=mode, mparams=mparams, bank=bank, taps=taps,
             sps=sps, span=span, cs=cs, k_real=k_real, sigma=sigma,
         ),
-        out_shape=jax.ShapeDtypeStruct((k_pad, c), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, c), syms.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
@@ -230,9 +252,22 @@ def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
         raise ValueError("rrc taps length must equal span*sps + 1")
     if chunk_sym < span + 1:
         raise ValueError("chunk_sym must exceed the filter span")
+    if chunk_sym % HALO_ROWS:
+        raise ValueError(f"chunk_sym must be a multiple of {HALO_ROWS}")
     if interpret is None:
         interpret = _auto_interpret()
     bank = _phase_bank(taps, sps)
+
+    # Narrowest symbol dtype that fits the constellation (plus the -1
+    # sentinel): the kernel is HBM-traffic-bound, so int8 I/O where possible
+    # quarters its bandwidth cost.
+    n_points = len(mparams) if mode == "lut" else 1 << (2 * mparams[0])
+    if n_points <= 127:
+        io_dtype = jnp.int8
+    elif n_points <= 32767:
+        io_dtype = jnp.int16
+    else:
+        io_dtype = jnp.int32
 
     batch_shape = symbols.shape[:-1]
     k = symbols.shape[-1]
@@ -240,7 +275,7 @@ def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
     c = flat.shape[0]
     k_pad = (-k) % chunk_sym
     c_pad = (-c) % LANE
-    st = jnp.pad(flat.T, ((0, k_pad), (0, c_pad)))
+    st = jnp.pad(flat.T.astype(io_dtype), ((0, k_pad), (0, c_pad)))
 
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
@@ -251,7 +286,7 @@ def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
         sps, span, chunk_sym, k, interpret,
         None if sigma is None else float(sigma),
     )
-    return out[:k, :c].T.reshape(batch_shape + (k,))
+    return out[:k, :c].T.reshape(batch_shape + (k,)).astype(jnp.int32)
 
 
 def fused_pulse_chain(
