@@ -114,11 +114,11 @@ class ShardedPulseChain:
                 jax.lax.axis_index("ch"),
             )
             k1, k2, k3, k4 = jax.random.split(kdev, 4)
-            # Average waveform power: symbol energy spread over sps samples
-            # (static — keeps the noise level identical across shards).
-            p = float(np.mean(np.sum(np.asarray(self.chain.lut) ** 2, -1))
-                      / self.chain.sps)
-            sig = jnp.float32(np.sqrt(p / (10.0 ** (snr_db / 10.0)) / 2.0))
+            # snr_db is Es/N0 at the matched-filter decision point (the RRC
+            # is unit-energy, so per-rail waveform noise sigma^2 = N0/2) —
+            # the same convention as the fused kernel's snr_db.
+            es = float(np.mean(np.sum(np.asarray(self.chain.lut) ** 2, -1)))
+            sig = jnp.float32(np.sqrt(es / (10.0 ** (snr_db / 10.0)) / 2.0))
             wave = (wave[0] + sig * jax.random.normal(k1, wave[0].shape),
                     wave[1] + sig * jax.random.normal(k2, wave[1].shape))
             ext = (ext[0] + sig * jax.random.normal(k3, ext[0].shape),
