@@ -147,6 +147,26 @@ class PulseShapedChain:
         syms = lut_slice(di, dq, self.lut)
         return unpack_symbols(syms, self.scheme.bits_per_symbol)
 
+    def rx_soft(self, rx_wave, n_symbols: int,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        """waveform -> per-bit max-log LLRs ``[..., K*bps]`` for downstream
+        FEC (``noise_var`` = per-rail sigma^2 at the decision point, N0/2)."""
+        from .ops.llr import lut_llr
+
+        if self.carrier_hz is None:
+            yi, yq = rx_wave
+        else:
+            yi, yq = self.downconvert(rx_wave)
+        if self.polyphase:
+            d = self.span * self.sps
+            di = polyphase_decim(yi, self.rrc, self.sps, d, n_symbols)
+            dq = polyphase_decim(yq, self.rrc, self.sps, d, n_symbols)
+        else:
+            yi, yq = self.matched_filter(yi, yq)
+            di, dq = self.decimate(yi, yq, n_symbols)
+        return lut_llr(di, dq, self.lut, self.scheme.bits_per_symbol,
+                       noise_var)
+
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         """Noiseless bits -> bits (must be exactly equal for sane configs)."""
         k = bits.shape[-1] // self.scheme.bits_per_symbol

@@ -41,17 +41,27 @@ class ShardedPulseChain:
     "time")``. Channel axis 0 of ``bits [C, n_bits]`` is sharded over ``ch``;
     the symbol/sample axis over ``time``.
 
-    Baseband only for now (``chain.carrier_hz is None``); the per-shard NCO
-    offset for passband operation is closed-form but deliberately kept out of
-    the first sharded milestone.
+    Baseband and passband (``carrier_hz``) both supported in the staged path
+    — the per-shard NCO phase is closed-form in the device index. The fused
+    Pallas path is baseband-only.
     """
 
     def __init__(self, chain: PulseShapedChain, mesh: Mesh):
-        if chain.carrier_hz is not None:
-            raise NotImplementedError("sharded chain is baseband-only")
         self.chain = chain
         self.mesh = mesh
         self.t_dev = mesh.shape["time"]
+
+    def _shard_thetas(self, n: int, ext_len: int):
+        """Carrier phases for this shard's samples and its extension region —
+        closed-form in the device index (no collective): shard t starts at
+        global sample t*n."""
+        sr = self.chain.rates.sample_rate
+        hz = self.chain.carrier_hz
+        t_idx = jax.lax.axis_index("time")
+        s0 = (t_idx * (n % sr)) % sr
+        th = carrier_phase(hz, sr, n, s0)
+        th_e = carrier_phase(hz, sr, ext_len, (s0 + n % sr) % sr)
+        return th, th_e
 
     # -- the local (per-device) step, run under shard_map --------------------
 
@@ -107,6 +117,33 @@ class ShardedPulseChain:
 
     def _local_roundtrip(self, bits_l, key_l, snr_db):
         wave, ext = self._local_tx(bits_l)
+        if self.chain.carrier_hz is not None:
+            # Passband leg: upconvert to a real waveform (the "channel"
+            # signal, `modulate.rs:128-133`), optionally add real AWGN, then
+            # coherent product detection (`demodulator.rs:52-55` 2x gain) —
+            # all with closed-form per-shard carrier phase.
+            n, d = wave[0].shape[-1], ext[0].shape[-1]
+            th, th_e = self._shard_thetas(n, d)
+            x = wave[0] * jnp.cos(th) - wave[1] * jnp.sin(th)
+            xe = ext[0] * jnp.cos(th_e) - ext[1] * jnp.sin(th_e)
+            if snr_db is not None:
+                kdev = jax.random.fold_in(
+                    jax.random.fold_in(key_l, jax.lax.axis_index("time")),
+                    jax.lax.axis_index("ch"),
+                )
+                k1, k2 = jax.random.split(kdev)
+                es = float(np.mean(np.sum(np.asarray(self.chain.lut) ** 2,
+                                          -1)))
+                # Decision-rail noise after the 2x product detector is
+                # 2*sigma_pass^2; solve for Es/N0 at the decision point.
+                sig = jnp.float32(
+                    np.sqrt(es / (10.0 ** (snr_db / 10.0)) / 4.0))
+                x = x + sig * jax.random.normal(k1, x.shape)
+                xe = xe + sig * jax.random.normal(k2, xe.shape)
+            wave = (2.0 * x * jnp.cos(th), -2.0 * x * jnp.sin(th))
+            ext = (2.0 * xe * jnp.cos(th_e), -2.0 * xe * jnp.sin(th_e))
+            n_sym_l = bits_l.shape[-1] // self.chain.scheme.bits_per_symbol
+            return self._local_rx(wave, ext, n_sym_l)
         if snr_db is not None:
             # Per-device noise stream: fold the shard coordinates into the key.
             kdev = jax.random.fold_in(
@@ -178,6 +215,8 @@ class ShardedPulseChain:
         from ..ops.pallas_chain import fused_pulse_chain
         from ..utils.bits import pack_bits as _pack, unpack_symbols as _unpack
 
+        if self.chain.carrier_hz is not None:
+            raise NotImplementedError("fused sharded path is baseband-only")
         ch = self.chain
         span = ch.span
         bps = ch.scheme.bits_per_symbol

@@ -105,6 +105,33 @@ class TestShardedChain:
         assert int(tot) == bits.size
         assert int(err) == 0  # 20 dB is far above QPSK threshold
 
+    def test_passband_noiseless_exact(self, mesh8):
+        """Passband sharded chain (per-shard closed-form NCO) matches the
+        single-device passband chain bit-for-bit."""
+        chain = PulseShapedChain(
+            qpsk_reference_chain(RATES).scheme, RATES, carrier_hz=2000
+        )
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=64, channels=4, seed=21)
+        out = sharded.roundtrip_fn()(sharded.shard_bits(bits),
+                                     jax.random.key(0))
+        single = chain.roundtrip(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_passband_noisy_ber(self, mesh8):
+        chain = PulseShapedChain(
+            qpsk_reference_chain(RATES).scheme, RATES, carrier_hz=2000
+        )
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=256, channels=4, seed=22)
+        err, tot = sharded.ber_fn(snr_db=20.0)(sharded.shard_bits(bits),
+                                               jax.random.key(3))
+        assert int(err) == 0
+        err, _ = sharded.ber_fn(snr_db=-4.0)(sharded.shard_bits(bits),
+                                             jax.random.key(3))
+        assert int(err) > 0
+
     def test_fused_kernel_sharded_exact(self, mesh8):
         """Fused Pallas kernel per device + ppermute symbol halos: decisions
         exactly equal the single-device fused kernel and the input bits."""
