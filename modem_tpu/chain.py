@@ -297,6 +297,20 @@ class FskChain:
         i, q = self.tx(bits)
         return self.rx(i, q)
 
+    def roundtrip_fused(self, bits: jnp.ndarray,
+                        snr_db: float | None = None, seed=None) -> jnp.ndarray:
+        """bits -> bits through the fused Pallas FSK kernel
+        (:mod:`modem_tpu.ops.pallas_fsk`): waveform synthesis, FM
+        discrimination, and slicing VMEM-resident; optional in-kernel AWGN
+        (``snr_db`` = per-complex-sample SNR)."""
+        from .ops.pallas_fsk import fused_fsk_chain
+
+        bps = self.scheme.bits_per_symbol
+        syms = pack_bits(bits, bps)
+        dec = fused_fsk_chain(syms, self.scheme, self.rates, self.guard,
+                              snr_db=snr_db, seed=seed)
+        return unpack_symbols(dec, bps)
+
 
 def qpsk_reference_chain(
     rates: Rates, span_symbols: int = 8, beta: float = 0.35,

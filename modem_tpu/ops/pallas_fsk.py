@@ -1,0 +1,263 @@
+"""Fused FSK-family chain (BFSK/MFSK/CPFSK) as one Pallas TPU kernel.
+
+Division of labor with the XLA side: phase *continuity* (the reference's
+``update()`` accumulators, `bfsk.rs:43-55` / `mfsk.rs:68-75`) has unbounded
+lookback, so the symbol-rate integer phase program (``fnum``, ``pnum`` — see
+:class:`modem_tpu.models.base.PhaseProgram`) is computed by the existing
+scheme code in XLA (a cheap prefix sum over symbols). The *sample-rate* heavy
+lifting is fused here per (time x channels) tile, VMEM-resident:
+
+    integer phase -> cos/sin waveform synthesis (the modulated signal)
+    -> [optional in-kernel AWGN]
+    -> FM discriminator  dphi[s] = angle(y[s] * conj(y[s-1]))  from I/Q
+    -> per-symbol interior mean (guard samples skipped)
+    -> nearest-frequency decision
+
+Tile halo: the discriminator needs exactly ONE extra sample (the previous
+symbol's last), synthesized locally from a one-row halo of (fnum, pnum) —
+unlike the RRC chain there is no filter span to exchange.
+
+HBM traffic: two int32 symbol-rate tensors in, one out (~1 B/sample at
+sps=8); the waveform never leaves VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TWO_PI
+from .pallas_chain import HALO_ROWS, LANE, _auto_interpret, _gauss_pair
+
+DEFAULT_CHUNK_SYM = 256
+
+
+def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Four-quadrant arctangent built from a degree-9 minimax polynomial
+    (Mosaic has no atan2/atan lowering). Max error ~1e-5 rad — far below
+    the discriminator's decision spacing (~0.06 rad at the CLI configs)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    s = t * t
+    # atan(t), t in [0, 1]
+    r = t * (0.99997726
+             + s * (-0.33262347
+                    + s * (0.19354346
+                           + s * (-0.11643287
+                                  + s * (0.05265332
+                                         + s * -0.01172120)))))
+    pi = jnp.float32(np.pi)
+    r = jnp.where(ay > ax, pi * 0.5 - r, r)
+    r = jnp.where(x < 0, pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _fsk_kernel(
+    *refs,
+    coefs: tuple, den: int, sps: int, amp: float, qshift: float,
+    time_offset: int, guard: int, cs: int, sigma: float | None,
+):
+    """coefs: per-candidate-symbol fnum table (static). Decisions pick the
+    candidate whose phase increment 2*pi*fnum/den is nearest the measured
+    per-symbol mean discriminator output."""
+    if sigma is None:
+        fprev_ref, fcurr_ref, pprev_ref, pcurr_ref, o_ref = refs
+    else:
+        seed_ref, fprev_ref, fcurr_ref, pprev_ref, pcurr_ref, o_ref = refs
+    t = pl.program_id(1)
+
+    # One-symbol halo: append the previous symbol's program row in front.
+    fnum = jnp.concatenate(
+        [fprev_ref[HALO_ROWS - 1:, :], fcurr_ref[:, :]], axis=0
+    )  # [cs+1, C]
+    pnum = jnp.concatenate(
+        [pprev_ref[HALO_ROWS - 1:, :], pcurr_ref[:, :]], axis=0
+    )
+
+    # Synthesize samples for symbols -1..cs-1 (the halo symbol's last sample
+    # is the discriminator's s-1 for the tile's first sample). Sample s of
+    # symbol row r (global symbol g = t*cs + r - 1):
+    #   tmod = (g*sps + j + time_offset) mod den
+    #   u = (fnum*tmod + pnum) mod den ; theta = 2*pi*u/den
+    n_rows = cs + 1
+    full = n_rows * sps
+    rows = jax.lax.broadcasted_iota(jnp.int32, (full, fnum.shape[1]), 0)
+    g = (t * cs - 1) * sps + rows + time_offset
+    # g can be negative only in tile 0's halo row, whose samples are never
+    # used (guard >= 1 skips them and tile 0's first dphi is masked); clamp
+    # to keep the modulo positive.
+    tmod = jnp.maximum(g, 0) % den
+    # symbol-rate -> sample-rate hold via broadcast+reshape (jnp.repeat
+    # lowers to scatter, which Mosaic does not implement)
+    c_lane = fnum.shape[1]
+    f_s = jnp.broadcast_to(fnum[:, None, :], (n_rows, sps, c_lane)
+                           ).reshape(full, c_lane)
+    p_s = jnp.broadcast_to(pnum[:, None, :], (n_rows, sps, c_lane)
+                           ).reshape(full, c_lane)
+    u = (f_s * tmod + p_s) % den
+    theta = u.astype(jnp.float32) * jnp.float32(TWO_PI / den)
+    wi = jnp.float32(amp) * jnp.cos(theta)
+    wq = jnp.float32(amp) * jnp.cos(theta + jnp.float32(qshift))
+
+    if sigma is not None:
+        pltpu.prng_seed(seed_ref[0, 0]
+                        + pl.program_id(0) * 1000003
+                        + pl.program_id(1) * 7919)
+        gi, gq = _gauss_pair(wi.shape)
+        wi = wi + sigma * gi
+        wq = wq + sigma * gq
+
+    # Discriminator on I/Q planes: the increment *into* sample s is
+    # D[s] = atan2 of y[s] * conj(y[s-1]); D[0] := 0 (never used, guard>=1).
+    # Built with a one-row zero pad so D has exactly (cs+1)*sps rows and
+    # reshapes to [symbol, sample-in-symbol, C] — Mosaic has no strided
+    # slicing, so the per-symbol grouping must be a reshape, not a stride.
+    ip, qp = wi[:-1, :], wq[:-1, :]
+    ci, cq = wi[1:, :], wq[1:, :]
+    dphi = _atan2(cq * ip - ci * qp, ci * ip + cq * qp)  # [full-1, C]
+    d_al = jnp.concatenate(
+        [jnp.zeros((1, dphi.shape[1]), jnp.float32), dphi], axis=0
+    ).reshape(n_rows, sps, dphi.shape[1])
+    # Interior mean over sample positions j in [guard, sps) of real symbols
+    # (rows 1..cs; row 0 is the halo symbol).
+    acc = jnp.sum(d_al[1:, guard:, :], axis=1)
+    mean_f = acc * jnp.float32(1.0 / (sps - guard))
+
+    best = jnp.zeros((cs, dphi.shape[1]), jnp.int32)
+    best_d = jnp.full((cs, dphi.shape[1]), np.inf, jnp.float32)
+    for m, fn in enumerate(coefs):
+        target = jnp.float32(TWO_PI * fn / den)
+        dist = jnp.abs(mean_f - target)
+        best = jnp.where(dist < best_d, m, best)
+        best_d = jnp.minimum(dist, best_d)
+    o_ref[:, :] = best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coefs", "den", "sps", "amp", "qshift", "time_offset",
+                     "guard", "cs", "interpret", "sigma"),
+)
+def _fsk_tmajor(fnum, pnum, seed, coefs, den, sps, amp, qshift, time_offset,
+                guard, cs, interpret, sigma):
+    k_pad, c = fnum.shape
+    hb = HALO_ROWS
+    r = cs // hb
+    n_halo = k_pad // hb
+    grid = (c // LANE, k_pad // cs)
+    curr = pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                        memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec(
+        (hb, LANE), lambda ci, t: (jnp.clip(t * r - 1, 0, n_halo - 1), ci),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [prev, curr, prev, curr]
+    args = (fnum, fnum, pnum, pnum)
+    if sigma is not None:
+        in_specs = [pl.BlockSpec((1, 1), lambda ci, t: (0, 0),
+                                 memory_space=pltpu.SMEM)] + in_specs
+        args = (seed.reshape(1, 1).astype(jnp.int32),) + args
+    return pl.pallas_call(
+        functools.partial(
+            _fsk_kernel, coefs=coefs, den=den, sps=sps, amp=amp,
+            qshift=qshift, time_offset=time_offset, guard=guard, cs=cs,
+            sigma=sigma,
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_pad, c), jnp.int32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_fsk_chain(
+    symbols: jnp.ndarray,
+    scheme,
+    rates,
+    guard: int = 1,
+    chunk_sym: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+    snr_db: float | None = None,
+    seed=None,
+) -> jnp.ndarray:
+    """FSK loopback: ``[..., K]`` int32 symbols -> decided symbols.
+
+    ``scheme``: a BFSK/MFSK/CPFSK instance (slots_per_symbol == 1, constant
+    amplitude). ``snr_db`` is per-complex-sample SNR (A^2 / (2*sigma^2) per
+    rail); noise is drawn in-kernel on the synthesized waveform. Requires
+    ``guard >= 1`` (the discriminator's first increment of each symbol spans
+    the boundary).
+    """
+    from ..models.base import PhaseProgram
+    from ..tx import REF_TIME_OFFSET
+
+    if guard < 1:
+        raise ValueError("fused FSK needs guard >= 1")
+    if interpret is None:
+        interpret = _auto_interpret()
+
+    batch_shape = symbols.shape[:-1]
+    k = symbols.shape[-1]
+    flat = symbols.reshape((-1, k))
+
+    # Symbol-rate phase program via the scheme's own (prefix-sum) compiler.
+    prog, _ = scheme.program(
+        flat, scheme.init_state(flat.shape[:-1]), rates, 0
+    )
+    if not isinstance(prog, PhaseProgram) or prog.slots_per_symbol != 1:
+        raise TypeError("fused FSK supports slots_per_symbol == 1 schemes")
+    amp = float(scheme.amplitude)  # jit-safe (static, not from the tracer)
+
+    # Static per-candidate fnum table, computed in NumPy (a jnp probe would
+    # become a tracer when this wrapper runs under an outer jit).
+    from ..models.fsk import BFSK, CPFSK, MFSK
+
+    m = 1 << scheme.bits_per_symbol
+    s = np.arange(m)
+    if isinstance(scheme, BFSK):
+        table = s * scheme.dev
+    elif isinstance(scheme, MFSK):
+        coef = 2 * s if scheme.symbol_map == "increase" else 2 * s - scheme.max_sym
+        table = coef * scheme.dev
+    elif isinstance(scheme, CPFSK):
+        table = 2 * s * scheme.dev_hz
+    else:
+        raise TypeError(f"fused FSK does not support {type(scheme).__name__}")
+    coefs = tuple(int(v) for v in table)
+    if max(abs(v) for v in coefs) * 2 >= scheme.den:
+        raise ValueError(
+            "discriminator Nyquist violated: |fnum| must stay below den/2 "
+            f"(max {max(abs(v) for v in coefs)} vs den {scheme.den}) — the "
+            "phase increment would alias (see ops/slicer.py fsk_slice)"
+        )
+
+    sps = rates.samples_per_symbol
+    c = flat.shape[0]
+    k_pad = (-k) % chunk_sym
+    c_pad = (-c) % LANE
+    fnum = jnp.pad(prog.fnum.T, ((0, k_pad), (0, c_pad)))
+    pnum = jnp.pad(prog.pnum.T, ((0, k_pad), (0, c_pad)))
+
+    sigma = None
+    if snr_db is not None:
+        sigma = amp / math.sqrt(2.0) * 10.0 ** (-snr_db / 20.0)
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    out = _fsk_tmajor(
+        fnum.astype(jnp.int32), pnum.astype(jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+        coefs, prog.den, sps, amp, float(prog.qshift), REF_TIME_OFFSET,
+        guard, chunk_sym, interpret,
+        None if sigma is None else float(sigma),
+    )
+    return out[:k, :c].T.reshape(batch_shape + (k,))

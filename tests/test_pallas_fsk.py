@@ -1,0 +1,62 @@
+"""Fused FSK chain kernel vs the staged FskChain (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from modem_tpu import Rates, make_scheme
+from modem_tpu.chain import FskChain
+from modem_tpu.models.fsk import CPFSK
+from modem_tpu.ops.pallas_fsk import fused_fsk_chain
+from modem_tpu.utils.bits import unpack_symbols
+
+RATES = Rates(baud_rate=1250, sample_rate=10000)
+
+
+def _syms(scheme, k, channels=3, seed=0):
+    rng = np.random.default_rng(seed)
+    m = 1 << scheme.bits_per_symbol
+    return jnp.asarray(rng.integers(0, m, (channels, k)), jnp.int32)
+
+
+class TestFusedFsk:
+    @pytest.mark.parametrize("make", [
+        lambda: make_scheme("mfsk", RATES),
+        lambda: make_scheme("bfsk", RATES),
+        lambda: CPFSK(2, RATES, 1.0, 1),
+    ])
+    def test_noiseless_exact(self, make):
+        scheme = make()
+        syms = _syms(scheme, 600)
+        dec = fused_fsk_chain(syms, scheme, RATES)
+        np.testing.assert_array_equal(np.asarray(dec), np.asarray(syms))
+
+    def test_matches_staged_chain(self):
+        scheme = make_scheme("mfsk", RATES)
+        chain = FskChain(scheme, RATES, 2 * np.arange(16),
+                         dev_rad_per_sample=2 * np.pi * 50 / 10000)
+        syms = _syms(scheme, 300, seed=2)
+        bits = unpack_symbols(syms, scheme.bits_per_symbol)
+        staged = chain.roundtrip(bits)
+        fused_bits = unpack_symbols(
+            fused_fsk_chain(syms, scheme, RATES), scheme.bits_per_symbol
+        )
+        np.testing.assert_array_equal(np.asarray(fused_bits),
+                                      np.asarray(staged))
+
+    def test_multi_tile(self):
+        scheme = make_scheme("bfsk", RATES)
+        syms = _syms(scheme, 1100, channels=2, seed=3)
+        dec = fused_fsk_chain(syms, scheme, RATES)
+        np.testing.assert_array_equal(np.asarray(dec), np.asarray(syms))
+
+    def test_nyquist_guard(self):
+        with pytest.raises(ValueError):
+            fused_fsk_chain(_syms(make_scheme("16cpfsk", RATES), 64),
+                            make_scheme("16cpfsk", RATES), RATES)
+
+    def test_guard_required(self):
+        scheme = make_scheme("bfsk", RATES)
+        with pytest.raises(ValueError):
+            fused_fsk_chain(_syms(scheme, 64), scheme, RATES, guard=0)
