@@ -312,6 +312,144 @@ class FskChain:
         return unpack_symbols(dec, bps)
 
 
+class MskChain:
+    """MSK bits->bits: exact half-sine TX (the MSK scheme's PhaseProgram)
+    plus discriminator detection with differential decoding.
+
+    The MSK baseband is ``y = A*(s0*cos(th) - j*s1*sin(th))`` with
+    ``th = pi*s/(2*spb)`` and per-half-symbol signs ``s0, s1`` (`msk.rs:12-35`
+    + the `EvenOddOffset` stagger). Within one half-symbol slot ``y`` is a
+    pure tone of frequency ``-s0*s1 * pi/(2*spb)`` rad/sample, so the FM
+    discriminator yields one sign per slot, ``c = -s0*s1``; consecutive slot
+    products telescope back to the bit signs:
+
+        c[2m]*c[2m+1] = s1[m-1]*s1[m]   ->  s1 by running product
+        s0[m] = -c[2m]*s1[m-1]
+
+    seeded by the zero-initialized stagger (``s1[-1] = -1``,
+    `data.rs:97-99`). Running sign products are XOR prefix sums — fully
+    parallel (SURVEY.md section 7's prefix-sum inversion, applied to RX).
+    """
+
+    def __init__(self, rates: Rates, amplitude: float = 1.0, guard: int = 1):
+        from .models.fsk import MSK
+
+        if rates.samples_per_symbol % 2:
+            raise ValueError("MSK needs even samples_per_symbol")
+        self.rates = rates
+        self.scheme = MSK(amplitude, rates.samples_per_symbol)
+        self.mod = Modulator(self.scheme, rates)
+        self.spb = rates.samples_per_symbol // 2
+        self.guard = guard
+        if self.spb - guard < 1:
+            raise ValueError("guard leaves no interior samples per slot")
+
+    def tx(self, bits: jnp.ndarray):
+        (i, q), _ = self.mod.baseband(bits, self.mod.init_state(bits.shape[:-1]))
+        return i, q
+
+    def rx(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        inst = fm_discriminate(i, q)
+        n_slots = i.shape[-1] // self.spb
+        per_slot = inst[..., : n_slots * self.spb].reshape(
+            inst.shape[:-1] + (n_slots, self.spb)
+        )
+        mean_f = jnp.mean(per_slot[..., self.guard:], axis=-1)
+        c_neg = (mean_f < 0).astype(jnp.int32)  # 1 where c = -1
+        ce, co = c_neg[..., 0::2], c_neg[..., 1::2]  # slots 2m / 2m+1
+        # s1[m] sign flips where c[2m]*c[2m+1] = -1; s1[-1] = -1.
+        flips = (ce + co) % 2
+        s1_neg = (1 + jnp.cumsum(flips, axis=-1)) % 2  # 1 where s1[m] < 0
+        s1_prev_neg = jnp.concatenate(
+            [jnp.ones_like(s1_neg[..., :1]), s1_neg[..., :-1]], axis=-1
+        )
+        # s0[m] = -c[2m]*s1[m-1]: negative iff exactly one of
+        # {c[2m] negative, s1[m-1] negative} ... -(-1)^a*(-1)^b
+        s0_neg = (1 + ce + s1_prev_neg) % 2
+        b0 = 1 - s0_neg
+        b1 = 1 - s1_neg
+        bits = jnp.stack([b0, b1], axis=-1)
+        return bits.reshape(bits.shape[:-2] + (2 * b0.shape[-1],))
+
+    def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
+        return self.rx(*self.tx(bits))
+
+
+class OqpskChain:
+    """OQPSK bits->bits: rectangular-pulse offset QPSK with mid-slot
+    coherent sampling. The I rail holds ``b0`` over slots [2m, 2m+2), the Q
+    rail ``b1`` over [2m+1, 2m+3) (`oqpsk.rs:19-25` + `data.rs:102-123`);
+    each rail is sampled in the middle of its hold interval and sign-sliced.
+    """
+
+    def __init__(self, rates: Rates, amplitude: float = 1.0):
+        from .models.psk import OQPSK
+
+        if rates.samples_per_symbol % 2:
+            raise ValueError("OQPSK needs even samples_per_symbol")
+        self.rates = rates
+        self.scheme = OQPSK(amplitude)
+        self.mod = Modulator(self.scheme, rates)
+        self.sps = rates.samples_per_symbol
+
+    def tx(self, bits: jnp.ndarray):
+        (i, q), _ = self.mod.baseband(bits, self.mod.init_state(bits.shape[:-1]))
+        return i, q
+
+    def rx(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        sps, half = self.sps, self.sps // 2
+        k = i.shape[-1] // sps
+        idx0 = jnp.arange(k, dtype=jnp.int32) * sps + half  # mid of I hold
+        # Q's hold for b1[m] is [m*sps + half, (m+1)*sps + half); its middle
+        # aligns with the next symbol boundary. The final symbol's Q hold
+        # runs past the stream end, so sample its last available point.
+        idx1 = jnp.minimum(
+            jnp.arange(k, dtype=jnp.int32) * sps + sps, i.shape[-1] - 1
+        )
+        b0 = (i[..., idx0] > 0).astype(jnp.int32)
+        b1 = (q[..., idx1] > 0).astype(jnp.int32)
+        bits = jnp.stack([b0, b1], axis=-1)
+        return bits.reshape(bits.shape[:-2] + (2 * k,))
+
+    def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
+        return self.rx(*self.tx(bits))
+
+
+class DcqpskChain:
+    """pi/4-QPSK bits->bits: coherent slicing against the parity-dependent
+    constellation (`dcqpsk.rs:24-44`): symbol k uses the +pi/4-rotated map
+    iff k is even — the parity is closed-form in the symbol index, so the RX
+    slices even and odd symbols against their respective 4-point tables.
+    """
+
+    def __init__(self, rates: Rates, amplitude: float = 1.0):
+        from .models.psk import DCQPSK
+
+        self.rates = rates
+        self.scheme = DCQPSK(amplitude)
+        self.mod = Modulator(self.scheme, rates)
+        self.sps = rates.samples_per_symbol
+
+    def tx(self, bits: jnp.ndarray):
+        (i, q), _ = self.mod.baseband(bits, self.mod.init_state(bits.shape[:-1]))
+        return i, q
+
+    def rx(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        sps = self.sps
+        k = i.shape[-1] // sps
+        idx = jnp.arange(k, dtype=jnp.int32) * sps + sps // 2
+        di, dq = i[..., idx], q[..., idx]
+        lut = np.asarray(self.scheme.lut, np.float32)  # [2, 4, 2]
+        s_even = lut_slice(di, dq, lut[0])
+        s_odd = lut_slice(di, dq, lut[1])
+        parity = jnp.arange(k, dtype=jnp.int32) % 2
+        syms = jnp.where(parity == 0, s_even, s_odd)
+        return unpack_symbols(syms, 2)
+
+    def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
+        return self.rx(*self.tx(bits))
+
+
 def qpsk_reference_chain(
     rates: Rates, span_symbols: int = 8, beta: float = 0.35,
     fir_backend: str = "direct",
