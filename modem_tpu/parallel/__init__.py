@@ -24,9 +24,10 @@ from .collectives import left_halo, right_halo, exclusive_prefix
 from .fir import fir_with_halo, sharded_fir
 from .chain import ShardedPulseChain
 from .modulator import time_sharded_baseband
+from .rx import sharded_demodulate
 
 __all__ = [
     "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
     "fir_with_halo", "sharded_fir", "ShardedPulseChain",
-    "time_sharded_baseband",
+    "time_sharded_baseband", "sharded_demodulate",
 ]

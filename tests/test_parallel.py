@@ -153,6 +153,38 @@ class TestShardedChain:
         assert int(err) > 0
 
 
+class TestShardedDemodulator:
+    def _passband(self, channels=None, n_sym=64):
+        from modem_tpu.models import make_scheme
+        mod = Modulator(make_scheme("bpsk", RATES), RATES, carrier_hz=2000)
+        rng = np.random.default_rng(31)
+        shape = (n_sym,) if channels is None else (channels, n_sym)
+        bits = jnp.asarray(rng.integers(0, 2, shape), jnp.int32)
+        wave, _ = mod.passband(bits, mod.init_state(
+            () if channels is None else (channels,)))
+        return wave
+
+    @pytest.mark.parametrize("channels", [None, 4])
+    def test_matches_single_device(self, channels, mesh_time8, mesh8):
+        from modem_tpu.parallel import sharded_demodulate
+        from modem_tpu.rx import Demodulator
+        from modem_tpu.ops.pll import LOCK_SAMPLES
+
+        wave = self._passband(channels)
+        demod = Demodulator(2000, 10000)
+        mesh = mesh_time8 if channels is None else mesh8
+        si, sq = sharded_demodulate(demod, wave, mesh,
+                                    ch_axis=None if channels is None else "ch")
+
+        batch = () if channels is None else (channels,)
+        st = demod.lock_phase(wave[..., :LOCK_SAMPLES], demod.init_state(batch))
+        (ri, rq), _ = demod.demodulate(wave[..., LOCK_SAMPLES:], st)
+        np.testing.assert_allclose(np.asarray(si[..., LOCK_SAMPLES:]),
+                                   np.asarray(ri), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sq[..., LOCK_SAMPLES:]),
+                                   np.asarray(rq), atol=2e-6)
+
+
 class TestTimeShardedModulator:
     SCHEMES = ["qpsk", "bpsk", "bfsk", "mfsk", "dqpsk", "dbpsk", "dcqpsk",
                "msk", "oqpsk", "16cpfsk", "qam16", "16apsk"]
