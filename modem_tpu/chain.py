@@ -17,8 +17,6 @@ into a handful of XLA kernels around the FIR engine.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 import jax

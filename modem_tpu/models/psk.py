@@ -10,12 +10,10 @@ in turns. Formulas cite the reference files they reproduce.
 from __future__ import annotations
 
 import math
-from typing import Any
-
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import TWO_PI, Rates
+from ..config import TWO_PI
 from ..utils.bits import unpack_symbols
 from ..utils.scan import cummod
 from .base import IQProgram, Scheme, stagger_bit_planes

@@ -7,7 +7,7 @@ import math
 import numpy as np
 
 from ..utils.bits import max_symbol
-from .base import IQProgram, Scheme
+from .base import Scheme
 from .psk import _lut_gather
 
 

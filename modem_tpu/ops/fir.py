@@ -22,8 +22,6 @@ All backends are bit-compatible (up to f32 reassociation) and tested against
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

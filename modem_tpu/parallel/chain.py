@@ -20,8 +20,6 @@ Every collective is a nearest-neighbor ``ppermute`` (rides ICI) plus one
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
@@ -30,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chain import PulseShapedChain, upsample_zero_stuff
 from ..ops.fir import fir_filter
-from ..ops.nco import carrier_phase, mix_up
+from ..ops.nco import carrier_phase
 from ..ops.slicer import lut_slice
 from ..utils.bits import pack_bits, unpack_symbols
 from .collectives import left_halo, right_halo

@@ -24,15 +24,13 @@ closed-form in the device index (parity = ``(t*K_local) % 2``, time origin =
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TWO_PI
 from ..models.base import IQProgram, PhaseProgram, synthesize
-from ..models.fsk import BFSK, CPFSK, MFSK, MSK
+from ..models.fsk import BFSK, MFSK, MSK
 from ..models.psk import DCQPSK, DMPSK, OQPSK
 from ..tx import Modulator, REF_TIME_OFFSET
 from ..utils.bits import pack_bits

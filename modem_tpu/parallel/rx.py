@@ -19,8 +19,6 @@ Outputs for samples < 64 (the lock preamble) are zeros; the CLI drops them.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

@@ -15,8 +15,6 @@ and slicing lives in :mod:`modem_tpu.chain`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ carry" design from SURVEY.md section 5.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
