@@ -42,6 +42,40 @@ def upsample_zero_stuff(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return u.reshape(x.shape[:-1] + (x.shape[-1] * factor,))
 
 
+def shape_iq(iq, rrc, sps: int, span: int, polyphase: bool,
+             fir_backend: str = "direct"):
+    """Per-symbol I/Q values ``[..., K, 2]`` -> RRC-shaped baseband,
+    ``span`` flush symbols appended — the shared TX back half of the
+    constellation and differential chains."""
+    flush = jnp.zeros(iq.shape[:-2] + (span, 2), iq.dtype)
+    iq = jnp.concatenate([iq, flush], axis=-2)
+    if polyphase:
+        si, _ = polyphase_interp(iq[..., 0], rrc, sps)
+        sq, _ = polyphase_interp(iq[..., 1], rrc, sps)
+        return si, sq
+    ui = upsample_zero_stuff(iq[..., 0], sps)
+    uq = upsample_zero_stuff(iq[..., 1], sps)
+    si, _ = fir_filter(ui, rrc, backend=fir_backend)
+    sq, _ = fir_filter(uq, rrc, backend=fir_backend)
+    return si, sq
+
+
+def matched_decision_points(yi, yq, rrc, sps: int, span: int,
+                            n_symbols: int, polyphase: bool,
+                            fir_backend: str = "direct"):
+    """Matched filter + symbol-instant sampling ``-> (di, dq) [..., K]`` —
+    the shared RX front half of the constellation and differential chains."""
+    d = span * sps
+    if polyphase:
+        di = polyphase_decim(yi, rrc, sps, d, n_symbols)
+        dq = polyphase_decim(yq, rrc, sps, d, n_symbols)
+        return di, dq
+    yi, _ = fir_filter(yi, rrc, backend=fir_backend)
+    yq, _ = fir_filter(yq, rrc, backend=fir_backend)
+    idx = d + jnp.arange(n_symbols, dtype=jnp.int32) * sps
+    return yi[..., idx], yq[..., idx]
+
+
 class PulseShapedChain:
     """Matched-filter chain for constellation (LUT) schemes.
 
@@ -83,19 +117,9 @@ class PulseShapedChain:
 
     def shape_pulses(self, symbols: jnp.ndarray):
         """symbols [..., K] -> RRC-shaped baseband I/Q [..., (K+span)*sps]."""
-        lut = jnp.asarray(self.lut)
-        iq = lut[symbols]  # [..., K, 2]
-        flush = jnp.zeros(iq.shape[:-2] + (self.span, 2), iq.dtype)
-        iq = jnp.concatenate([iq, flush], axis=-2)
-        if self.polyphase:
-            si, _ = polyphase_interp(iq[..., 0], self.rrc, self.sps)
-            sq, _ = polyphase_interp(iq[..., 1], self.rrc, self.sps)
-            return si, sq
-        ui = upsample_zero_stuff(iq[..., 0], self.sps)
-        uq = upsample_zero_stuff(iq[..., 1], self.sps)
-        si, _ = fir_filter(ui, self.rrc, backend=self.fir_backend)
-        sq, _ = fir_filter(uq, self.rrc, backend=self.fir_backend)
-        return si, sq
+        iq = jnp.asarray(self.lut)[symbols]  # [..., K, 2]
+        return shape_iq(iq, self.rrc, self.sps, self.span, self.polyphase,
+                        self.fir_backend)
 
     def tx(self, bits: jnp.ndarray):
         """bits -> baseband I/Q (or real passband if carrier_hz is set)."""
@@ -129,19 +153,22 @@ class PulseShapedChain:
         idx = d + jnp.arange(n_symbols, dtype=jnp.int32) * self.sps
         return yi[..., idx], yq[..., idx]
 
-    def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
-        """waveform -> decided bits [..., K*bps]."""
+    def decision_points(self, rx_wave, n_symbols: int):
+        """waveform -> matched-filter outputs at symbol instants
+        ``(di, dq) [..., K]`` — the shared front half of hard (:meth:`rx`)
+        and soft (:meth:`rx_soft`) detection."""
         if self.carrier_hz is None:
             yi, yq = rx_wave
         else:
             yi, yq = self.downconvert(rx_wave)
-        if self.polyphase:
-            d = self.span * self.sps
-            di = polyphase_decim(yi, self.rrc, self.sps, d, n_symbols)
-            dq = polyphase_decim(yq, self.rrc, self.sps, d, n_symbols)
-        else:
-            yi, yq = self.matched_filter(yi, yq)
-            di, dq = self.decimate(yi, yq, n_symbols)
+        return matched_decision_points(
+            yi, yq, self.rrc, self.sps, self.span, n_symbols,
+            self.polyphase, self.fir_backend,
+        )
+
+    def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        """waveform -> decided bits [..., K*bps]."""
+        di, dq = self.decision_points(rx_wave, n_symbols)
         syms = lut_slice(di, dq, self.lut)
         return unpack_symbols(syms, self.scheme.bits_per_symbol)
 
@@ -151,17 +178,7 @@ class PulseShapedChain:
         FEC (``noise_var`` = per-rail sigma^2 at the decision point, N0/2)."""
         from .ops.llr import lut_llr
 
-        if self.carrier_hz is None:
-            yi, yq = rx_wave
-        else:
-            yi, yq = self.downconvert(rx_wave)
-        if self.polyphase:
-            d = self.span * self.sps
-            di = polyphase_decim(yi, self.rrc, self.sps, d, n_symbols)
-            dq = polyphase_decim(yq, self.rrc, self.sps, d, n_symbols)
-        else:
-            yi, yq = self.matched_filter(yi, yq)
-            di, dq = self.decimate(yi, yq, n_symbols)
+        di, dq = self.decision_points(rx_wave, n_symbols)
         return lut_llr(di, dq, self.lut, self.scheme.bits_per_symbol,
                        noise_var)
 
@@ -226,29 +243,13 @@ class DifferentialChain:
             symbols, self.scheme.init_state(symbols.shape[:-1]), self.rates, 0
         )
         iq = jnp.stack([prog.i, prog.q], axis=-1)  # [..., K, 2]
-        flush = jnp.zeros(iq.shape[:-2] + (self.span, 2), iq.dtype)
-        iq = jnp.concatenate([iq, flush], axis=-2)
-        if self.polyphase:
-            si, _ = polyphase_interp(iq[..., 0], self.rrc, self.sps)
-            sq, _ = polyphase_interp(iq[..., 1], self.rrc, self.sps)
-            return si, sq
-        ui = upsample_zero_stuff(iq[..., 0], self.sps)
-        uq = upsample_zero_stuff(iq[..., 1], self.sps)
-        si, _ = fir_filter(ui, self.rrc)
-        sq, _ = fir_filter(uq, self.rrc)
-        return si, sq
+        return shape_iq(iq, self.rrc, self.sps, self.span, self.polyphase)
 
     def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
-        yi, yq = rx_wave
-        d = self.span * self.sps
-        if self.polyphase:
-            di = polyphase_decim(yi, self.rrc, self.sps, d, n_symbols)
-            dq = polyphase_decim(yq, self.rrc, self.sps, d, n_symbols)
-        else:
-            yi, _ = fir_filter(yi, self.rrc)
-            yq, _ = fir_filter(yq, self.rrc)
-            idx = d + jnp.arange(n_symbols, dtype=jnp.int32) * self.sps
-            di, dq = yi[..., idx], yq[..., idx]
+        di, dq = matched_decision_points(
+            *rx_wave, self.rrc, self.sps, self.span, n_symbols,
+            self.polyphase,
+        )
         import math as _math
 
         p0 = self.scheme.phase0_turns * 2.0 * _math.pi
@@ -273,6 +274,13 @@ class FskChain:
 
     def __init__(self, scheme: Scheme, rates: Rates, coefs: np.ndarray,
                  dev_rad_per_sample: float, guard: int = 1):
+        if guard < 1:
+            # The discriminator's first increment of each symbol spans the
+            # boundary (and the stream's very first has no predecessor);
+            # guard >= 1 is required for correct decisions.
+            raise ValueError("FskChain needs guard >= 1")
+        if guard >= rates.samples_per_symbol:
+            raise ValueError("guard leaves no interior samples per symbol")
         self.scheme = scheme
         self.rates = rates
         self.mod = Modulator(scheme, rates)
@@ -339,6 +347,10 @@ class MskChain:
         self.mod = Modulator(self.scheme, rates)
         self.spb = rates.samples_per_symbol // 2
         self.guard = guard
+        if guard < 1:
+            # Slot boundaries flip the discriminator sign mid-increment;
+            # the boundary sample must be excluded from the slot mean.
+            raise ValueError("MskChain needs guard >= 1")
         if self.spb - guard < 1:
             raise ValueError("guard leaves no interior samples per slot")
 

@@ -33,14 +33,18 @@ def _native():
         return _LIB
     _LIB_TRIED = True
     try:
-        import sys
+        import importlib.util
+
         root = pathlib.Path(__file__).resolve().parent.parent
-        sys.path.insert(0, str(root / "native"))
-        try:
-            import build as _build  # native/build.py
-            path = _build.build()
-        finally:
-            sys.path.pop(0)
+        # Load native/build.py by file path under a private module name —
+        # importing it as top-level 'build' would collide with the PyPA
+        # 'build' package in sys.modules.
+        spec = importlib.util.spec_from_file_location(
+            "modem_tpu._native_build", root / "native" / "build.py"
+        )
+        _build = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_build)
+        path = _build.build()
         lib = ctypes.CDLL(str(path))
         lib.modemio_parse_ascii_bits.restype = ctypes.c_long
         lib.modemio_format_iq_text.restype = ctypes.c_long
@@ -69,7 +73,9 @@ def parse_ascii_bits(data: bytes) -> np.ndarray:
                              f"at offset {pos}")
         return out[:n].copy()
     arr = np.frombuffer(data, np.uint8)
-    keep = ~np.isin(arr, np.frombuffer(b" \t\n\r\v\f", np.uint8))
+    # Whitespace per the reference's `(byte as char).is_whitespace()`
+    # (`data.rs:151`): ASCII whitespace plus Latin-1 NEL (0x85), NBSP (0xA0).
+    keep = ~np.isin(arr, np.frombuffer(b" \t\n\r\v\f\x85\xa0", np.uint8))
     arr = arr[keep]
     bad = (arr != ord("0")) & (arr != ord("1"))
     if bad.any():

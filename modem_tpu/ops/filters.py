@@ -12,7 +12,6 @@ reference lacks (SURVEY.md "What the reference is NOT").
 from __future__ import annotations
 
 import numpy as np
-from scipy import signal as _sig
 
 
 def hilbert_taps(n_taps: int = 23) -> np.ndarray:
@@ -37,7 +36,20 @@ def lowpass_taps(
     sample_rate: float = 10000.0,
 ) -> np.ndarray:
     """Equiripple lowpass to the reference's published spec (defaults:
-    passband 0-1 kHz, stopband 1.5-5 kHz at 10 kHz, 64 taps)."""
+    passband 0-1 kHz, stopband 1.5-5 kHz at 10 kHz, 64 taps).
+
+    SciPy is imported lazily and only here: without it the design falls back
+    to a Kaiser-windowed sinc at the band-edge midpoint, which meets the same
+    role (anti-image lowpass) with slightly less stopband ripple control —
+    the rest of the package must import cleanly with jax+numpy alone.
+    """
+    try:
+        from scipy import signal as _sig
+    except ImportError:
+        cutoff = (passband_hz + stopband_hz) / 2.0 / (sample_rate / 2.0)
+        n = np.arange(n_taps) - (n_taps - 1) / 2.0
+        taps = np.sinc(cutoff * n) * cutoff * np.kaiser(n_taps, 6.0)
+        return (taps / taps.sum()).astype(np.float32)
     taps = _sig.remez(
         n_taps,
         [0, passband_hz, stopband_hz, sample_rate / 2],

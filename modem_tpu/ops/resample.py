@@ -88,9 +88,9 @@ def rational_resample(
             xr = jnp.concatenate(
                 [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
             )
-        branches.append(
-            polyphase_decim(xr, h_r, down, b_r, t_r) if len(h_r) else None
-        )
+        # h is zero-padded to a multiple of `up`, so every phase row is
+        # non-empty (taps_per_phase entries).
+        branches.append(polyphase_decim(xr, h_r, down, b_r, t_r))
     # Interleave branches: output m = r + t*up.
     t_max = max(lengths)
     cols = []

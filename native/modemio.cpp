@@ -15,18 +15,19 @@
 
 extern "C" {
 
-// Parse ASCII '0'/'1' bits, skipping whitespace (space, \t, \r, \n, \v, \f),
-// mirroring the reference's accepted alphabet (`data.rs:142-159`).
-// Returns the number of bits written to `out`, or -(pos+1) on the first
-// invalid byte at offset `pos`.
+// Parse ASCII '0'/'1' bits, skipping whitespace. The reference checks
+// `(byte as char).is_whitespace()` (`data.rs:151`), i.e. Rust's Unicode
+// predicate on the Latin-1 interpretation of the byte — which accepts the
+// ASCII whitespace set plus 0x85 (NEL) and 0xA0 (NBSP). Returns the number
+// of bits written to `out`, or -(pos+1) on the first invalid byte at `pos`.
 long modemio_parse_ascii_bits(const char* in, long n, uint8_t* out) {
     long w = 0;
     for (long i = 0; i < n; ++i) {
-        const char c = in[i];
+        const unsigned char c = static_cast<unsigned char>(in[i]);
         if (c == '0' || c == '1') {
             out[w++] = static_cast<uint8_t>(c - '0');
         } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
-                   c == '\v' || c == '\f') {
+                   c == '\v' || c == '\f' || c == 0x85 || c == 0xA0) {
             continue;
         } else {
             return -(i + 1);

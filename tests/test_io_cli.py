@@ -26,6 +26,12 @@ class TestByteFormats:
         with pytest.raises(ValueError):
             mio.parse_ascii_bits(b"0102")
 
+    def test_parse_latin1_whitespace(self):
+        """Rust's `(byte as char).is_whitespace()` also accepts NEL/NBSP
+        (`data.rs:151`); both the native and NumPy parsers must too."""
+        bits = mio.parse_ascii_bits(b"0\x851\xa00")
+        np.testing.assert_array_equal(bits, [0, 1, 0])
+
     def test_ascii_roundtrip(self):
         bits = np.asarray([1, 0, 1, 1, 0], np.uint8)
         assert mio.parse_ascii_bits(mio.format_ascii_bits(bits)).tolist() \
