@@ -254,6 +254,10 @@ def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
         raise ValueError("chunk_sym must exceed the filter span")
     if chunk_sym % HALO_ROWS:
         raise ValueError(f"chunk_sym must be a multiple of {HALO_ROWS}")
+    if chunk_sym > 512:
+        # Measured: the per-phase waveform working set exceeds the 16 MB VMEM
+        # budget beyond 512 (and larger tiles are no faster on the target).
+        raise ValueError("chunk_sym > 512 exceeds the VMEM budget")
     if interpret is None:
         interpret = _auto_interpret()
     bank = _phase_bank(taps, sps)
