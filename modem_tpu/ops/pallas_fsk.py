@@ -180,46 +180,58 @@ def _fsk_tmajor(fnum, pnum, seed, coefs, den, sps, amp, qshift, time_offset,
     )(*args)
 
 
-def fused_fsk_chain(
-    symbols: jnp.ndarray,
-    scheme,
-    rates,
+def fsk_decide_from_program(
+    fnum: jnp.ndarray,
+    pnum: jnp.ndarray,
+    coefs: tuple,
+    den: int,
+    sps: int,
+    amp: float,
+    qshift: float,
     guard: int = 1,
     chunk_sym: int = DEFAULT_CHUNK_SYM,
     interpret: bool | None = None,
-    snr_db: float | None = None,
+    sigma: float | None = None,
     seed=None,
 ) -> jnp.ndarray:
-    """FSK loopback: ``[..., K]`` int32 symbols -> decided symbols.
+    """Kernel entry below the scheme layer: integer phase program
+    ``fnum``/``pnum`` ``[..., K]`` -> decided symbols ``[..., K]``.
 
-    ``scheme``: a BFSK/MFSK/CPFSK instance (slots_per_symbol == 1, constant
-    amplitude). ``snr_db`` is per-complex-sample SNR (A^2 / (2*sigma^2) per
-    rail); noise is drawn in-kernel on the synthesized waveform. Requires
-    ``guard >= 1`` (the discriminator's first increment of each symbol spans
-    the boundary).
+    Used directly by the time-sharded path, where each device folds its
+    global sample offset ``S0`` into ``pnum`` (``theta = 2*pi*(fnum*(t_local
+    + S0) + pnum)/den`` == local-time evaluation with ``pnum + fnum*S0``).
     """
-    from ..models.base import PhaseProgram
     from ..tx import REF_TIME_OFFSET
 
     if guard < 1:
         raise ValueError("fused FSK needs guard >= 1")
     if interpret is None:
         interpret = _auto_interpret()
-
-    batch_shape = symbols.shape[:-1]
-    k = symbols.shape[-1]
-    flat = symbols.reshape((-1, k))
-
-    # Symbol-rate phase program via the scheme's own (prefix-sum) compiler.
-    prog, _ = scheme.program(
-        flat, scheme.init_state(flat.shape[:-1]), rates, 0
+    batch_shape = fnum.shape[:-1]
+    k = fnum.shape[-1]
+    fl = fnum.reshape((-1, k))
+    plo = pnum.reshape((-1, k))
+    c = fl.shape[0]
+    k_pad = (-k) % chunk_sym
+    c_pad = (-c) % LANE
+    fpad = jnp.pad(fl.T, ((0, k_pad), (0, c_pad)))
+    ppad = jnp.pad(plo.T, ((0, k_pad), (0, c_pad)))
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    out = _fsk_tmajor(
+        fpad.astype(jnp.int32), ppad.astype(jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+        coefs, den, sps, amp, qshift, REF_TIME_OFFSET,
+        guard, chunk_sym, interpret,
+        None if sigma is None else float(sigma),
     )
-    if not isinstance(prog, PhaseProgram) or prog.slots_per_symbol != 1:
-        raise TypeError("fused FSK supports slots_per_symbol == 1 schemes")
-    amp = float(scheme.amplitude)  # jit-safe (static, not from the tracer)
+    return out[:k, :c].T.reshape(batch_shape + (k,))
 
-    # Static per-candidate fnum table, computed in NumPy (a jnp probe would
-    # become a tracer when this wrapper runs under an outer jit).
+
+def fsk_coef_table(scheme) -> tuple:
+    """Static per-candidate-symbol fnum table, computed in NumPy (a jnp
+    probe would become a tracer under an outer jit); validates the
+    discriminator Nyquist bound."""
     from ..models.fsk import BFSK, CPFSK, MFSK
 
     m = 1 << scheme.bits_per_symbol
@@ -240,24 +252,43 @@ def fused_fsk_chain(
             f"(max {max(abs(v) for v in coefs)} vs den {scheme.den}) — the "
             "phase increment would alias (see ops/slicer.py fsk_slice)"
         )
+    return coefs
 
-    sps = rates.samples_per_symbol
-    c = flat.shape[0]
-    k_pad = (-k) % chunk_sym
-    c_pad = (-c) % LANE
-    fnum = jnp.pad(prog.fnum.T, ((0, k_pad), (0, c_pad)))
-    pnum = jnp.pad(prog.pnum.T, ((0, k_pad), (0, c_pad)))
+
+def fused_fsk_chain(
+    symbols: jnp.ndarray,
+    scheme,
+    rates,
+    guard: int = 1,
+    chunk_sym: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+    snr_db: float | None = None,
+    seed=None,
+) -> jnp.ndarray:
+    """FSK loopback: ``[..., K]`` int32 symbols -> decided symbols.
+
+    ``scheme``: a BFSK/MFSK/CPFSK instance (slots_per_symbol == 1, constant
+    amplitude). ``snr_db`` is per-complex-sample SNR (A^2 / (2*sigma^2) per
+    rail); noise is drawn in-kernel on the synthesized waveform. Requires
+    ``guard >= 1`` (the discriminator's first increment of each symbol spans
+    the boundary).
+    """
+    from ..models.base import PhaseProgram
+
+    coefs = fsk_coef_table(scheme)
+    amp = float(scheme.amplitude)  # jit-safe (static, not from the tracer)
+
+    # Symbol-rate phase program via the scheme's own (prefix-sum) compiler.
+    prog, _ = scheme.program(
+        symbols, scheme.init_state(symbols.shape[:-1]), rates, 0
+    )
+    if not isinstance(prog, PhaseProgram) or prog.slots_per_symbol != 1:
+        raise TypeError("fused FSK supports slots_per_symbol == 1 schemes")
 
     sigma = None
     if snr_db is not None:
         sigma = amp / math.sqrt(2.0) * 10.0 ** (-snr_db / 20.0)
-    if seed is None:
-        seed = jnp.zeros((), jnp.int32)
-    out = _fsk_tmajor(
-        fnum.astype(jnp.int32), pnum.astype(jnp.int32),
-        jnp.asarray(seed, jnp.int32),
-        coefs, prog.den, sps, amp, float(prog.qshift), REF_TIME_OFFSET,
-        guard, chunk_sym, interpret,
-        None if sigma is None else float(sigma),
+    return fsk_decide_from_program(
+        prog.fnum, prog.pnum, coefs, prog.den, rates.samples_per_symbol,
+        amp, float(prog.qshift), guard, chunk_sym, interpret, sigma, seed,
     )
-    return out[:k, :c].T.reshape(batch_shape + (k,))

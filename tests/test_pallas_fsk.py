@@ -60,3 +60,24 @@ class TestFusedFsk:
         scheme = make_scheme("bfsk", RATES)
         with pytest.raises(ValueError):
             fused_fsk_chain(_syms(scheme, 64), scheme, RATES, guard=0)
+
+
+class TestTimeShardedFusedFsk:
+    @pytest.mark.parametrize("name", ["mfsk", "bfsk"])
+    def test_matches_single_device(self, name):
+        from modem_tpu.parallel import (
+            make_modem_mesh, time_sharded_fsk_roundtrip_fn,
+        )
+        from modem_tpu.utils.bits import unpack_symbols
+
+        scheme = make_scheme(name, RATES)
+        mesh = make_modem_mesh(ch=2, time=4)
+        fn = time_sharded_fsk_roundtrip_fn(scheme, RATES, mesh)
+        syms = _syms(scheme, 128, channels=4, seed=9)
+        bits = unpack_symbols(syms, scheme.bits_per_symbol)
+        out = fn(bits, 0)
+        single = unpack_symbols(
+            fused_fsk_chain(syms, scheme, RATES), scheme.bits_per_symbol
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
