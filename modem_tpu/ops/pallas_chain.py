@@ -254,10 +254,16 @@ def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
         raise ValueError("chunk_sym must exceed the filter span")
     if chunk_sym % HALO_ROWS:
         raise ValueError(f"chunk_sym must be a multiple of {HALO_ROWS}")
-    if chunk_sym > 512:
-        # Measured: the per-phase waveform working set exceeds the 16 MB VMEM
-        # budget beyond 512 (and larger tiles are no faster on the target).
-        raise ValueError("chunk_sym > 512 exceeds the VMEM budget")
+    # VMEM stack guard, calibrated against the Mosaic compiler's own
+    # accounting on the target (cs=2048 reported a 31.2 MB scoped
+    # allocation -> ~16 KB per symbol row of live working set after the
+    # phase-streaming restructure; cs=512 compiles and runs).
+    est_bytes = chunk_sym * 16 * 1024
+    if est_bytes > 14 * 1024 * 1024:
+        raise ValueError(
+            f"chunk_sym={chunk_sym} (est. ~{est_bytes >> 20} MB of VMEM "
+            "working set) exceeds the 16 MB budget; use a smaller tile"
+        )
     if interpret is None:
         interpret = _auto_interpret()
     bank = _phase_bank(taps, sps)

@@ -205,6 +205,8 @@ def fsk_decide_from_program(
 
     if guard < 1:
         raise ValueError("fused FSK needs guard >= 1")
+    if guard >= sps:
+        raise ValueError("guard leaves no interior samples per symbol")
     if interpret is None:
         interpret = _auto_interpret()
     batch_shape = fnum.shape[:-1]
@@ -226,6 +228,13 @@ def fsk_decide_from_program(
         None if sigma is None else float(sigma),
     )
     return out[:k, :c].T.reshape(batch_shape + (k,))
+
+
+def fsk_noise_sigma(amp: float, snr_db: float) -> float:
+    """Per-rail noise sigma for a per-complex-sample SNR of ``snr_db``
+    (A^2 / (2*sigma^2) per rail) — the one encoding of the FSK noise
+    convention, shared by the single-device and time-sharded paths."""
+    return amp / math.sqrt(2.0) * 10.0 ** (-snr_db / 20.0)
 
 
 def fsk_coef_table(scheme) -> tuple:
@@ -287,7 +296,7 @@ def fused_fsk_chain(
 
     sigma = None
     if snr_db is not None:
-        sigma = amp / math.sqrt(2.0) * 10.0 ** (-snr_db / 20.0)
+        sigma = fsk_noise_sigma(amp, snr_db)
     return fsk_decide_from_program(
         prog.fnum, prog.pnum, coefs, prog.den, rates.samples_per_symbol,
         amp, float(prog.qshift), guard, chunk_sym, interpret, sigma, seed,

@@ -18,8 +18,6 @@ Noiseless decisions equal the single-device fused kernel exactly (tested).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -34,19 +32,28 @@ def time_sharded_fsk_roundtrip_fn(
     scheme, rates: Rates, mesh: Mesh, guard: int = 1,
     snr_db: float | None = None,
     time_axis: str = "time", ch_axis: str | None = "ch",
+    chunk_sym: int | None = None,
+    interpret: bool | None = None,
 ):
-    """Returns jit(f(bits [C, K*bps], seed) -> decided bits), the fused FSK
-    chain sharded over the mesh. ``snr_db`` as in ``fused_fsk_chain``."""
-    from ..ops.pallas_fsk import fsk_coef_table, fsk_decide_from_program
+    """Returns jit(f(bits [C, K*bps] or [K*bps], seed) -> decided bits), the
+    fused FSK chain sharded over the mesh. ``snr_db`` as in
+    ``fused_fsk_chain``; ``chunk_sym``/``interpret`` are forwarded to the
+    kernel (``chunk_sym`` defaults to the kernel's tile size; pick a smaller
+    multiple of 32 when per-device symbol counts are small, to avoid padding
+    whole tiles)."""
+    from ..ops.pallas_fsk import (
+        DEFAULT_CHUNK_SYM, fsk_coef_table, fsk_decide_from_program,
+        fsk_noise_sigma,
+    )
 
     coefs = fsk_coef_table(scheme)
     amp = float(scheme.amplitude)
     mod = Modulator(scheme, rates)  # for den resolution / validation
     den = mod.den
     sps = rates.samples_per_symbol
-    sigma = None
-    if snr_db is not None:
-        sigma = amp / math.sqrt(2.0) * 10.0 ** (-snr_db / 20.0)
+    sigma = None if snr_db is None else fsk_noise_sigma(amp, snr_db)
+    if chunk_sym is None:
+        chunk_sym = DEFAULT_CHUNK_SYM
 
     def local(bits_l, seed):
         symbols = pack_bits(bits_l, scheme.bits_per_symbol)
@@ -60,21 +67,29 @@ def time_sharded_fsk_roundtrip_fn(
         # the kernel evaluates in local time. fnum*s0 stays in int32: the
         # scheme constructors assert max|fnum|*den < 2^31 and s0 < den.
         pnum = (prog.pnum + prog.fnum * s0) % den
-        dev_seed = (jnp.asarray(seed, jnp.int32)
-                    + t_idx * jnp.int32(104729)
-                    + (jax.lax.axis_index(ch_axis) * jnp.int32(15485863)
-                       if ch_axis and bits_l.ndim > 1 else 0))
+        dev_seed = jnp.asarray(seed, jnp.int32) + t_idx * jnp.int32(104729)
+        if bits_l.ndim > 1 and ch_axis:
+            dev_seed = dev_seed + (jax.lax.axis_index(ch_axis)
+                                   * jnp.int32(15485863))
         dec = fsk_decide_from_program(
             prog.fnum, pnum, coefs, den, sps, amp, float(prog.qshift),
-            guard, sigma=sigma, seed=dev_seed,
+            guard, chunk_sym, interpret, sigma, dev_seed,
         )
         return unpack_symbols(dec, scheme.bits_per_symbol)
 
-    spec = (P(ch_axis, time_axis) if ch_axis else P(time_axis))
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
-                       out_specs=spec, check_vma=False)
+    return _make_runner(local, mesh, time_axis, ch_axis)
 
+
+def _make_runner(local, mesh, time_axis, ch_axis):
     def run(bits, seed):
+        # Spec follows the input rank (1-D streams shard over time only,
+        # matching time_sharded_baseband's accepted shapes).
+        if bits.ndim > 1 and ch_axis:
+            spec = P(ch_axis, *([None] * (bits.ndim - 2)), time_axis)
+        else:
+            spec = P(time_axis)
+        fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
+                           out_specs=spec, check_vma=False)
         placed = jax.device_put(bits, NamedSharding(mesh, spec))
         return jax.jit(fn)(placed, seed)
 

@@ -81,3 +81,26 @@ class TestTimeShardedFusedFsk:
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_1d_stream_small_chunk(self):
+        from modem_tpu.parallel import (
+            make_modem_mesh, time_sharded_fsk_roundtrip_fn,
+        )
+        from modem_tpu.utils.bits import unpack_symbols
+
+        scheme = make_scheme("bfsk", RATES)
+        mesh = make_modem_mesh(ch=1, time=8)
+        fn = time_sharded_fsk_roundtrip_fn(scheme, RATES, mesh, chunk_sym=32)
+        syms = _syms(scheme, 256, channels=3, seed=12)[0]
+        bits = unpack_symbols(syms, 1)
+        np.testing.assert_array_equal(np.asarray(fn(bits, 0)),
+                                      np.asarray(bits))
+
+    def test_guard_bounds(self):
+        from modem_tpu.ops.pallas_fsk import fsk_decide_from_program
+        import jax.numpy as jnp
+
+        with pytest.raises(ValueError):
+            fsk_decide_from_program(jnp.zeros((8,), jnp.int32),
+                                    jnp.zeros((8,), jnp.int32),
+                                    (0, 1), 10000, 8, 1.0, 0.0, guard=8)
