@@ -4,16 +4,26 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of the Rust
 reference ``ramtej/rust-modem`` (see SURVEY.md): 13 digital modulation schemes,
 NCO carrier + I/Q mixing, FIR filtering, PLL acquisition and coherent
 demodulation — extended with RRC pulse shaping, matched filtering, resampling,
-hard-decision slicing, BER harnesses, and multi-device sharding, processed as
-jitted block transforms over batched HBM-resident tensors.
+hard/soft slicing, BER harnesses, fused Pallas chain kernels, and
+multi-device sharding, processed as jitted block transforms over batched
+HBM-resident tensors.
 """
 
 from .config import Freq, Rates
 from .models import SCHEME_NAMES, make_scheme
 from .tx import Modulator, TxState
+from .rx import Demodulator, RxState
+from .chain import (
+    DcqpskChain, DifferentialChain, FskChain, MskChain, OqpskChain,
+    PulseShapedChain, qpsk_reference_chain,
+)
+from .streaming import StreamingFusedChain
 
 __all__ = [
-    "Freq", "Rates", "SCHEME_NAMES", "make_scheme", "Modulator", "TxState",
+    "DcqpskChain", "Demodulator", "DifferentialChain", "Freq", "FskChain",
+    "Modulator", "MskChain", "OqpskChain", "PulseShapedChain", "Rates",
+    "RxState", "SCHEME_NAMES", "StreamingFusedChain", "TxState",
+    "make_scheme", "qpsk_reference_chain",
 ]
 
 __version__ = "0.1.0"
