@@ -62,10 +62,13 @@ def shape_iq(iq, rrc, sps: int, span: int, polyphase: bool,
 
 def matched_decision_points(yi, yq, rrc, sps: int, span: int,
                             n_symbols: int, polyphase: bool,
-                            fir_backend: str = "direct"):
+                            fir_backend: str = "direct",
+                            delay: int | None = None):
     """Matched filter + symbol-instant sampling ``-> (di, dq) [..., K]`` —
-    the shared RX front half of the constellation and differential chains."""
-    d = span * sps
+    the shared RX front half of the constellation and differential chains.
+    ``delay`` overrides the default ``span*sps`` decision-instant offset
+    (used by the resampled chain, whose cascade adds its own group delay)."""
+    d = span * sps if delay is None else delay
     if polyphase:
         di = polyphase_decim(yi, rrc, sps, d, n_symbols)
         dq = polyphase_decim(yq, rrc, sps, d, n_symbols)

@@ -125,11 +125,12 @@ def _chain_kernel(
     *refs,
     mode: str, mparams, bank: tuple, taps: tuple, sps: int, span: int,
     cs: int, k_real: int, sigma: float | None = None,
+    carrier: tuple[int, int] | None = None,
 ):
-    if sigma is None:
-        prev_ref, curr_ref, next_ref, o_ref = refs
-    else:
-        seed_ref, prev_ref, curr_ref, next_ref, o_ref = refs
+    refs = list(refs)
+    seed_ref = refs.pop(0) if sigma is not None else None
+    off_ref = refs.pop(0) if carrier is not None else None
+    prev_ref, curr_ref, next_ref, o_ref = refs
     kp = len(bank[0])  # taps per polyphase branch
     ext_l, ext_r = span, span + 1
     t = pl.program_id(1)

@@ -11,6 +11,13 @@ Outputs with the same phase ``r = m mod L`` form a decimated FIR on ``x``
 (stride M, offset ``b_r``), so each of the L phase branches is one
 :func:`modem_tpu.ops.polyphase.polyphase_decim` call — L symbol-rate passes,
 ``len(h)/L`` MACs per branch output, all static shapes.
+
+Streaming: like every op in this framework (`fir_filter`, `polyphase_interp`,
+the scheme programs), the resampler carries explicit state — the previous
+block's last ``taps_per_phase - 1`` input samples — so chunked streams are
+bit-identical to one-shot processing. Block lengths must satisfy
+``N * up % down == 0`` (an integer number of outputs per block), which keeps
+the polyphase pattern aligned at block seams with no fractional-phase state.
 """
 
 from __future__ import annotations
@@ -43,16 +50,28 @@ def resample_taps(up: int, down: int, taps_per_phase: int = 16,
     return (h * up).astype(np.float32)
 
 
+def resample_state_len(taps, up: int, down: int) -> int:
+    """Length of the carried input history: ``taps_per_phase - 1`` samples
+    (the longest lookback of any polyphase branch)."""
+    g = math.gcd(up, down)
+    up = up // g
+    padded = len(np.asarray(taps)) + ((-len(np.asarray(taps))) % up)
+    return padded // up - 1
+
+
 def rational_resample(
     x: jnp.ndarray,
     up: int,
     down: int,
     taps: np.ndarray | None = None,
     taps_per_phase: int = 16,
-) -> jnp.ndarray:
-    """Resample ``x [..., N]`` by ``up/down``. Returns ``[..., N*up//down]``
-    (requires ``N*up % down == 0``); causal (no group-delay compensation),
-    zero initial history — the same conventions as the chain's filters.
+    state: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Resample ``x [..., N]`` by ``up/down``. Returns ``(y [..., N*up//down],
+    new_state)`` (requires ``N*up % down == 0``); causal (no group-delay
+    compensation). ``state`` is the previous block's last
+    ``taps_per_phase - 1`` input samples (zero history if None) — chunked
+    streams are bit-identical to one-shot processing.
     """
     g = math.gcd(up, down)
     up, down = up // g, down // g
@@ -63,34 +82,43 @@ def rational_resample(
     if (n * up) % down:
         raise ValueError(f"N*up ({n}*{up}) must divide by down ({down})")
     n_out = n * up // down
+    pad = (-len(taps)) % up
+    h = np.concatenate([taps, np.zeros(pad, np.float32)])
+    kp = len(h) // up  # taps per polyphase branch
+    if state is None:
+        state = jnp.zeros(x.shape[:-1] + (kp - 1,), x.dtype)
+    if state.shape[-1] != kp - 1:
+        raise ValueError(
+            f"resampler state must hold {kp - 1} samples, got {state.shape[-1]}"
+        )
+    xh = jnp.concatenate([state, x], axis=-1) if kp > 1 else x
+    new_state = xh[..., xh.shape[-1] - (kp - 1):] if kp > 1 else state
     if up == 1 and down == 1:
         from .fir import fir_filter
 
-        return fir_filter(x, taps)[0]
+        y, _ = fir_filter(x, taps, state=state)
+        return y, new_state
 
     # Phase branch r decides outputs m = r + t*up:
     #   y_r[t] = sum_k h[k*up + p_r] * x[b_r + t*down - k]
-    pad = (-len(taps)) % up
-    h = np.concatenate([taps, np.zeros(pad, np.float32)])
     branches = []
     lengths = []
     for r in range(up):
         p_r = (r * down) % up
         b_r = (r * down) // up
-        h_r = h[p_r::up]  # [taps_per_phase]
-        t_r = -(-(n_out - r) // up)  # outputs in this branch
+        h_r = h[p_r::up]  # [kp]
+        t_r = max(-(-(n_out - r) // up), 0)  # outputs in this branch
         lengths.append(t_r)
-        # polyphase_decim needs delay - j + (t_r-1)*down < n for all j; pad x
-        # on the right so every branch's last window fits (zeros = stream end).
-        need = b_r + (t_r - 1) * down + 1
-        xr = x
-        if need > n:
-            xr = jnp.concatenate(
-                [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
-            )
+        if t_r == 0:
+            branches.append(jnp.zeros(x.shape[:-1] + (0,), x.dtype))
+            continue
+        # The last window ends at b_r + (t_r-1)*down <= N-1 whenever
+        # down | N*up (checked above), so every branch fits in the block.
+        assert b_r + (t_r - 1) * down < n, "resampler window overran the block"
         # h is zero-padded to a multiple of `up`, so every phase row is
-        # non-empty (taps_per_phase entries).
-        branches.append(polyphase_decim(xr, h_r, down, b_r, t_r))
+        # non-empty (kp entries); lookback beyond the block start comes from
+        # the carried history.
+        branches.append(polyphase_decim(x, h_r, down, b_r, t_r, state=state))
     # Interleave branches: output m = r + t*up.
     t_max = max(lengths)
     cols = []
@@ -102,4 +130,4 @@ def rational_resample(
             )
         cols.append(br)
     y = jnp.stack(cols, axis=-1).reshape(x.shape[:-1] + (t_max * up,))
-    return y[..., :n_out]
+    return y[..., :n_out], new_state

@@ -46,7 +46,10 @@ def initialize_multihost(
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
     )
-    if want_init and jax.process_count() == 1:
+    # jax.process_count() would itself initialize the XLA backend (which must
+    # not happen before jax.distributed.initialize), so query the distributed
+    # runtime's own state instead.
+    if want_init and not jax.distributed.is_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -8,7 +8,7 @@ import pytest
 import jax.numpy as jnp
 
 from modem_tpu.ops.resample import (
-    design_lowpass, rational_resample, resample_taps,
+    design_lowpass, rational_resample, resample_state_len, resample_taps,
 )
 
 
@@ -29,7 +29,7 @@ def test_matches_upfirdn(up, down):
     n = 24 * down
     x = rng.normal(size=n).astype(np.float32)
     taps = resample_taps(up, down, taps_per_phase=8)
-    y = rational_resample(jnp.asarray(x), up, down, taps)
+    y, _ = rational_resample(jnp.asarray(x), up, down, taps)
     ref = upfirdn_ref(x, taps, up, down)[: n * up // down]
     assert y.shape[-1] == n * up // down
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
@@ -39,7 +39,7 @@ def test_batched():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(3, 48)).astype(np.float32)
     taps = resample_taps(3, 2, taps_per_phase=8)
-    y = rational_resample(jnp.asarray(x), 3, 2, taps)
+    y, _ = rational_resample(jnp.asarray(x), 3, 2, taps)
     for c in range(3):
         ref = upfirdn_ref(x[c], taps, 3, 2)[:72]
         np.testing.assert_allclose(np.asarray(y[c]), ref, atol=1e-4)
@@ -50,8 +50,8 @@ def test_tone_preserved():
     n = 512
     t = np.arange(n)
     x = np.sin(2 * np.pi * 0.03 * t).astype(np.float32)
-    y2 = rational_resample(jnp.asarray(x), 2, 1)
-    back = rational_resample(y2, 1, 2)
+    y2, _ = rational_resample(jnp.asarray(x), 2, 1)
+    back, _ = rational_resample(y2, 1, 2)
     mid = slice(128, n - 128)
     # group delay: both stages are causal; correlate to find best lag
     b = np.asarray(back)
@@ -62,8 +62,29 @@ def test_tone_preserved():
 
 def test_gcd_reduction():
     x = jnp.asarray(np.random.default_rng(2).normal(size=48), jnp.float32)
-    y = rational_resample(x, 4, 2)  # reduces to 2/1
+    y, _ = rational_resample(x, 4, 2)  # reduces to 2/1
     assert y.shape[-1] == 96
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (1, 2), (3, 2), (2, 3), (1, 1)])
+def test_streaming_state_parity(up, down):
+    """Chunked resampling with carried state == one-shot, bit-exact."""
+    rng = np.random.default_rng(7)
+    blocks = [12 * down, 24 * down, 6 * down]
+    x = rng.normal(size=sum(blocks)).astype(np.float32)
+    taps = resample_taps(up, down, taps_per_phase=8)
+    one_shot, _ = rational_resample(jnp.asarray(x), up, down, taps)
+    state = None
+    outs = []
+    start = 0
+    for b in blocks:
+        y, state = rational_resample(
+            jnp.asarray(x[start: start + b]), up, down, taps, state=state
+        )
+        assert state.shape[-1] == resample_state_len(taps, up, down)
+        outs.append(np.asarray(y))
+        start += b
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(one_shot))
 
 
 def test_invalid_length():
