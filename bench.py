@@ -83,19 +83,23 @@ def main():
         return
 
     samples = N_BLOCKS * CHANNELS * N_SYMBOLS * rates.samples_per_symbol
-    best = 0.0
-    for _ in range(3):
+    rates_seen = []
+    for _ in range(5):  # >= 5 passes: this device varies ~±15% run-to-run
         t0 = time.perf_counter()
         checksum = int(fn(blocks))
         dt = time.perf_counter() - t0
         if checksum == expect:
-            best = max(best, samples / dt)
+            rates_seen.append(samples / dt)
+    best = max(rates_seen, default=0.0)
+    spread = ((max(rates_seen) - min(rates_seen)) / min(rates_seen)
+              if len(rates_seen) >= 2 else 0.0)
 
     print(json.dumps({
         "metric": "flagship_chain_samples_per_s",
         "value": round(best, 1),
         "unit": "samples/s",
         "vs_baseline": round(best / TARGET, 3),
+        "spread": round(spread, 3),
     }))
 
 

@@ -194,23 +194,28 @@ class PulseShapedChain:
         """Noiseless bits -> bits through the single fused Pallas kernel
         (:mod:`modem_tpu.ops.pallas_chain`): the full-rate waveform is
         synthesized and matched-filtered entirely in VMEM, with HBM traffic
-        only for the bit tensors. Decisions match :meth:`roundtrip`."""
+        only for the bit tensors. With ``carrier_hz`` set, the NCO
+        up/downconversion and product detection also run in-kernel (the
+        reference's primary output mode, `modulate.rs:128-133`). Decisions
+        match :meth:`roundtrip`."""
         from .models.qam import QAM
         from .ops.pallas_chain import fused_pulse_chain, fused_pulse_chain_qam
 
-        if self.carrier_hz is not None:
-            raise NotImplementedError("fused chain is baseband-only")
+        pb = dict(carrier_hz=self.carrier_hz,
+                  sample_rate=self.rates.sample_rate
+                  if self.carrier_hz is not None else None)
         bps = self.scheme.bits_per_symbol
         syms = pack_bits(bits, bps)
         if isinstance(self.scheme, QAM) and bps % 2 == 0:
             # algebraic map/slice: O(1) in constellation size (256-QAM etc.)
             dec = fused_pulse_chain_qam(
                 syms, bps, self.scheme.phase, self.scheme.amplitude,
-                np.asarray(self.rrc), self.sps, self.span,
+                np.asarray(self.rrc), self.sps, self.span, **pb,
             )
         else:
             dec = fused_pulse_chain(
-                syms, self.lut, np.asarray(self.rrc), self.sps, self.span
+                syms, self.lut, np.asarray(self.rrc), self.sps, self.span,
+                **pb,
             )
         return unpack_symbols(dec, bps)
 
@@ -248,26 +253,96 @@ class DifferentialChain:
         iq = jnp.stack([prog.i, prog.q], axis=-1)  # [..., K, 2]
         return shape_iq(iq, self.rrc, self.sps, self.span, self.polyphase)
 
-    def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+    def _dphi(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        """Per-symbol differential phase at the decision points, seeded with
+        the known TX initial phase — the shared statistic of hard
+        (:meth:`rx`) and soft (:meth:`rx_soft`) detection."""
+        import math as _math
+
+        from .ops.slicer import diff_phase
+
         di, dq = matched_decision_points(
             *rx_wave, self.rrc, self.sps, self.span, n_symbols,
             self.polyphase,
         )
-        import math as _math
-
         p0 = self.scheme.phase0_turns * 2.0 * _math.pi
         prev = jnp.broadcast_to(
             jnp.asarray([_math.cos(p0), _math.sin(p0)], jnp.float32),
             di.shape[:-1] + (2,),
         )
+        return diff_phase(di, dq, prev)
+
+    def rx(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        import math as _math
+
+        dphi = self._dphi(rx_wave, n_symbols)
         shift = self.scheme.shift_turns * 2.0 * _math.pi
-        syms = diff_phase_slice(di, dq, shift, self.scheme.bits_per_symbol,
-                                prev)
+        m = 1 << self.scheme.bits_per_symbol
+        syms = jnp.round(dphi / shift).astype(jnp.int32) % m
         return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def rx_soft(self, rx_wave, n_symbols: int,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        """waveform -> per-bit max-log LLRs ``[..., K*bps]`` from the
+        differential phase (``noise_var`` = differential-phase variance).
+        The reference's RX emits soft I/Q for every scheme
+        (`demodulate.rs:41-43`); this completes the per-bit soft surface for
+        the differential family."""
+        import math as _math
+
+        from .ops.llr import dmpsk_llr
+
+        dphi = self._dphi(rx_wave, n_symbols)
+        shift = self.scheme.shift_turns * 2.0 * _math.pi
+        return dmpsk_llr(dphi, shift, self.scheme.bits_per_symbol, noise_var)
 
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         k = bits.shape[-1] // self.scheme.bits_per_symbol
         return self.rx(self.tx(bits), k)
+
+    def roundtrip_fused(self, bits: jnp.ndarray,
+                        snr_db: float | None = None,
+                        seed=None) -> jnp.ndarray:
+        """bits -> bits through the fused Pallas chain kernel.
+
+        DMPSK's accumulated phase is ``phi_k = phi0 + shift * sum_{j<=k}
+        sym_j`` (`dmpsk.rs:29-41`), i.e. a point of the M'-PSK constellation
+        rotated by ``phi0`` with index ``a_k = (sum sym) mod M'``
+        (M' = 1/shift_turns). The fused LUT kernel therefore runs on the
+        *accumulated* symbol stream against that rotated constellation, and
+        the differential decode ``sym_k = (a_k - a_{k-1}) mod M'`` happens at
+        symbol rate outside the kernel. Decisions are absolute-then-
+        difference (identical to :meth:`rx` at high SNR; both exact
+        noiseless). ``snr_db`` = Es/N0 at the decision point, noise drawn
+        in-kernel."""
+        import math as _math
+
+        from .ops.pallas_chain import fused_pulse_chain
+        from .utils.scan import cummod
+
+        sch = self.scheme
+        inv = 1.0 / sch.shift_turns
+        m_ph = round(inv)
+        if abs(inv - m_ph) > 1e-9 or m_ph != 1 << sch.bits_per_symbol:
+            raise NotImplementedError(
+                "fused DMPSK needs shift = 2*pi / 2^bits_per_symbol"
+            )
+        bps = sch.bits_per_symbol
+        syms = pack_bits(bits, bps)
+        acc = cummod(syms.astype(jnp.int32), m_ph)
+        ang = 2.0 * _math.pi * (sch.phase0_turns
+                                + np.arange(m_ph) / m_ph)
+        lut = np.stack([sch.amplitude * np.cos(ang),
+                        sch.amplitude * np.sin(ang)], axis=-1)
+        dec_abs = fused_pulse_chain(
+            acc, lut.astype(np.float32), np.asarray(self.rrc), self.sps,
+            self.span, snr_db=snr_db, seed=seed,
+        )
+        prev = jnp.concatenate(
+            [jnp.zeros_like(dec_abs[..., :1]), dec_abs[..., :-1]], axis=-1
+        )
+        dec = (dec_abs - prev) % m_ph
+        return unpack_symbols(dec, bps)
 
 
 class FskChain:
@@ -301,6 +376,22 @@ class FskChain:
         syms = fsk_slice(inst, self.coefs, self.dev,
                          self.rates.samples_per_symbol, self.guard)
         return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def rx_soft(self, i: jnp.ndarray, q: jnp.ndarray,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        """waveform -> per-bit max-log LLRs ``[..., K*bps]`` in the
+        discriminator domain (``noise_var`` = variance of the per-symbol
+        mean instantaneous frequency). Sign-of-LLR == :meth:`rx` decisions.
+        Completes the soft surface for the FSK family
+        (`demodulate.rs:41-43` stops at soft I/Q)."""
+        from .ops.llr import fsk_llr
+        from .ops.slicer import fsk_symbol_means
+
+        inst = fm_discriminate(i, q)
+        mean_f = fsk_symbol_means(inst, self.rates.samples_per_symbol,
+                                  self.guard)
+        return fsk_llr(mean_f, self.coefs, self.dev,
+                       self.scheme.bits_per_symbol, noise_var)
 
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         i, q = self.tx(bits)
@@ -361,14 +452,9 @@ class MskChain:
         (i, q), _ = self.mod.baseband(bits, self.mod.init_state(bits.shape[:-1]))
         return i, q
 
-    def rx(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-        inst = fm_discriminate(i, q)
-        n_slots = i.shape[-1] // self.spb
-        per_slot = inst[..., : n_slots * self.spb].reshape(
-            inst.shape[:-1] + (n_slots, self.spb)
-        )
-        mean_f = jnp.mean(per_slot[..., self.guard:], axis=-1)
-        c_neg = (mean_f < 0).astype(jnp.int32)  # 1 where c = -1
+    def _decode_cneg(self, c_neg: jnp.ndarray) -> jnp.ndarray:
+        """Per-slot discriminator sign bits (1 where c = -1) -> bits, via the
+        telescoping slot-product prefix decode (class docstring)."""
         ce, co = c_neg[..., 0::2], c_neg[..., 1::2]  # slots 2m / 2m+1
         # s1[m] sign flips where c[2m]*c[2m+1] = -1; s1[-1] = -1.
         flips = (ce + co) % 2
@@ -384,8 +470,41 @@ class MskChain:
         bits = jnp.stack([b0, b1], axis=-1)
         return bits.reshape(bits.shape[:-2] + (2 * b0.shape[-1],))
 
+    def rx(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        inst = fm_discriminate(i, q)
+        n_slots = i.shape[-1] // self.spb
+        per_slot = inst[..., : n_slots * self.spb].reshape(
+            inst.shape[:-1] + (n_slots, self.spb)
+        )
+        mean_f = jnp.mean(per_slot[..., self.guard:], axis=-1)
+        c_neg = (mean_f < 0).astype(jnp.int32)  # 1 where c = -1
+        return self._decode_cneg(c_neg)
+
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         return self.rx(*self.tx(bits))
+
+    def roundtrip_fused(self, bits: jnp.ndarray,
+                        snr_db: float | None = None,
+                        seed=None) -> jnp.ndarray:
+        """bits -> bits through the fused Pallas MSK kernel
+        (:func:`modem_tpu.ops.pallas_fsk.fused_msk_slots`): half-sine
+        synthesis, FM discrimination and per-slot sign decisions
+        VMEM-resident; the telescoping prefix decode runs at slot rate
+        outside. ``snr_db`` = per-complex-sample SNR, noise in-kernel."""
+        from .models.base import stagger_bit_planes
+        from .ops.pallas_fsk import fused_msk_slots
+
+        b = bits.reshape(bits.shape[:-1] + (bits.shape[-1] // 2, 2))
+        b0, b1 = b[..., 0], b[..., 1]
+        prev = jnp.zeros(bits.shape[:-1], jnp.int32)
+        b0s, b1s, _ = stagger_bit_planes(b0, b1, prev)
+        s0 = 2 * b0s.astype(jnp.int32) - 1
+        s1 = 2 * b1s.astype(jnp.int32) - 1
+        c_neg = fused_msk_slots(
+            s0, s1, self.spb, float(self.scheme.amplitude), self.guard,
+            snr_db=snr_db, seed=seed,
+        )
+        return self._decode_cneg(c_neg)
 
 
 class OqpskChain:

@@ -5,12 +5,15 @@ Mirrors `/root/reference/src/bin/demodulate.rs`: sample rate 10000 and carrier
 front-end, 64-sample PLL acquisition, then the coherent product detector
 printing ``i:<v>\\tq:<v>`` per sample (`demodulate.rs:41-43`).
 
-Block-streamed with the RxState pytree carried across blocks.
+Block-streamed end to end: stdin is read in bounded chunks and the RxState
+pytree is carried across blocks, so arbitrarily long streams run in constant
+memory (the reference pulls lazily per sample, `bin/util.rs:26-37`).
 """
 
 from __future__ import annotations
 
 import argparse
+import io as _io
 import sys
 
 import numpy as np
@@ -20,6 +23,7 @@ from ..ops.pll import LOCK_SAMPLES
 from ..rx import Demodulator
 
 BLOCK_SAMPLES = 1 << 20
+CHUNK_BYTES = 1 << 21
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -33,24 +37,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run(args, stdin_bytes: bytes, stdout) -> None:
+def run(args, stdin, stdout) -> None:
+    """``stdin``: a binary stream (or bytes, wrapped for convenience); read
+    in ``CHUNK_BYTES`` chunks. An odd byte at a chunk seam is carried to the
+    next chunk; an odd byte at stream end is dropped (`bin/util.rs:29-33`)."""
     import jax.numpy as jnp
 
+    if isinstance(stdin, (bytes, bytearray)):
+        stdin = _io.BytesIO(stdin)
     demod = Demodulator(args.carrier, args.sample_rate)
     state = demod.init_state()
-    x = mio.i16le_to_f32(stdin_bytes)
-    if x.size < LOCK_SAMPLES:
+    carry = b""
+    lock_buf = np.empty(0, np.float32)
+    locked = False
+    while True:
+        raw = stdin.read(CHUNK_BYTES)
+        if not raw:
+            break
+        data = carry + raw if carry else raw
+        if len(data) % 2:
+            carry, data = data[-1:], data[:-1]
+        else:
+            carry = b""
+        x = mio.i16le_to_f32(data)
+        if not locked:
+            lock_buf = np.concatenate([lock_buf, x])
+            if lock_buf.size < LOCK_SAMPLES:
+                continue
+            state = demod.lock_phase(jnp.asarray(lock_buf[:LOCK_SAMPLES]),
+                                     state)
+            locked = True
+            x = lock_buf[LOCK_SAMPLES:]
+            lock_buf = np.empty(0, np.float32)
+        for start in range(0, x.size, args.block_samples):
+            chunk = jnp.asarray(x[start: start + args.block_samples])
+            (i, q), state = demod.demodulate(chunk, state)
+            stdout.write(mio.format_iq_text(np.asarray(i), np.asarray(q)))
+    if not locked:
         raise SystemExit(f"need at least {LOCK_SAMPLES} samples to lock")
-    state = demod.lock_phase(jnp.asarray(x[:LOCK_SAMPLES]), state)
-    for start in range(LOCK_SAMPLES, x.size, args.block_samples):
-        chunk = jnp.asarray(x[start: start + args.block_samples])
-        (i, q), state = demod.demodulate(chunk, state)
-        stdout.write(mio.format_iq_text(np.asarray(i), np.asarray(q)))
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    run(args, sys.stdin.buffer.read(), sys.stdout.buffer)
+    run(args, sys.stdin.buffer, sys.stdout.buffer)
 
 
 if __name__ == "__main__":

@@ -9,14 +9,17 @@ Hz (default 1000), ``-p`` preamble cycles, ``--iq`` raw-baseband mode
 ``sr/cf*pc - 1`` samples of carrier tone when ``-p`` is given
 (`modulate.rs:118-133`).
 
-Processing is block-streamed: bits are consumed in symbol blocks and the
-modulator state pytree is carried across blocks, so arbitrarily long streams
-run in constant memory with bit-stable phase continuity.
+Processing is block-streamed end to end: stdin is read in bounded chunks
+(like the reference's lazy pull from stdin, `data.rs:142-159`), bits are
+consumed in symbol blocks, and the modulator state pytree is carried across
+blocks — arbitrarily long streams run in constant memory with bit-stable
+phase continuity.
 """
 
 from __future__ import annotations
 
 import argparse
+import io as _io
 import sys
 
 import numpy as np
@@ -27,6 +30,7 @@ from ..models import SCHEME_NAMES, make_scheme
 from ..tx import Modulator
 
 BLOCK_SYMBOLS = 1 << 16
+CHUNK_BYTES = 1 << 20
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -46,9 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run(args, stdin_bytes: bytes, stdout) -> None:
+def run(args, stdin, stdout) -> None:
+    """``stdin``: a binary stream (or bytes, wrapped for convenience); it is
+    read in ``CHUNK_BYTES`` chunks, so memory use is bounded by the chunk and
+    block sizes regardless of stream length."""
     import jax.numpy as jnp
 
+    if isinstance(stdin, (bytes, bytearray)):
+        stdin = _io.BytesIO(stdin)
     rates = Rates(args.baud_rate, args.sample_rate)
     if not args.carrier < args.sample_rate / 2:  # `modulate.rs:68`
         raise SystemExit("carrier must satisfy Nyquist (cf < sr/2)")
@@ -62,14 +71,12 @@ def run(args, stdin_bytes: bytes, stdout) -> None:
         tone, state = mod.preamble(args.preamble, state)
         stdout.write(mio.f32_to_f32le(np.asarray(tone)))
 
-    bits = mio.parse_ascii_bits(stdin_bytes)
     bps = scheme.bits_per_symbol
-    n_sym = bits.size // bps  # trailing partial symbol dropped (`data.rs:54-63`)
-    bits = bits[: n_sym * bps]
-
     blk = args.block_symbols * bps
-    for start in range(0, n_sym * bps, blk):
-        chunk = jnp.asarray(bits[start: start + blk], jnp.int32)
+
+    def emit(chunk_bits: np.ndarray) -> None:
+        nonlocal state
+        chunk = jnp.asarray(chunk_bits, jnp.int32)
         if args.iq:
             (i, q), state = mod.baseband(chunk, state)
             stdout.write(mio.f32_to_f32le(
@@ -78,10 +85,27 @@ def run(args, stdin_bytes: bytes, stdout) -> None:
             wave, state = mod.passband(chunk, state)
             stdout.write(mio.f32_to_f32le(np.asarray(wave)))
 
+    pending = np.empty(0, np.uint8)  # parsed bits awaiting a full block
+    while True:
+        raw = stdin.read(CHUNK_BYTES)
+        if not raw:
+            break
+        bits = mio.parse_ascii_bits(raw)
+        pending = np.concatenate([pending, bits]) if pending.size else bits
+        full = pending.size - pending.size % blk
+        for start in range(0, full, blk):
+            emit(pending[start: start + blk])
+        pending = pending[full:]
+    # Final partial block: whole symbols only — the trailing partial symbol
+    # is dropped (`data.rs:54-63`).
+    n_sym = pending.size // bps
+    if n_sym:
+        emit(pending[: n_sym * bps])
+
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    run(args, sys.stdin.buffer.read(), sys.stdout.buffer)
+    run(args, sys.stdin.buffer, sys.stdout.buffer)
 
 
 if __name__ == "__main__":

@@ -137,13 +137,36 @@ def _fir_matmul(xp: jnp.ndarray, taps: np.ndarray, block: int = 256) -> jnp.ndar
     return y.reshape(xp.shape[:-1] + (nb * block,))[..., :n]
 
 
-def _fir_fft(xp: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
-    """Overlap-save via one big real FFT (fine for block-at-a-time use; the
-    chunked overlap-save lives in the streaming/multi-device layer)."""
+def _fir_fft(xp: jnp.ndarray, taps: np.ndarray,
+             fft_n: int | None = None) -> jnp.ndarray:
+    """True chunked overlap-save: the signal is framed into overlapping
+    ``fft_n``-sample windows stepping by ``fft_n - (K-1)``, each window is
+    fast-convolved, and the valid regions are concatenated. The FFT size is
+    bounded (default: smallest power of two >= 8*K, floor 256) regardless of
+    block length, so memory and per-FFT latency stay O(K log K) per output
+    instead of growing with the stream."""
     k = taps.shape[0]
     n = xp.shape[-1] - (k - 1)
-    fft_n = 1 << max(int(math.ceil(math.log2(xp.shape[-1]))), 4)
-    xf = jnp.fft.rfft(xp, n=fft_n)
+    if fft_n is None:
+        fft_n = 1 << max(int(math.ceil(math.log2(max(8 * k, 256)))), 4)
+    if fft_n < 2 * k:
+        raise ValueError(f"fft_n={fft_n} too small for {k} taps (need >= 2K)")
     tf = jnp.asarray(np.fft.rfft(taps, n=fft_n).astype(np.complex64))
-    y = jnp.fft.irfft(xf * tf, n=fft_n)[..., k - 1: k - 1 + n]
+    step = fft_n - (k - 1)  # valid outputs per window
+    if n <= step:
+        xf = jnp.fft.rfft(xp, n=fft_n)
+        y = jnp.fft.irfft(xf * tf, n=fft_n)[..., k - 1: k - 1 + n]
+        return y.astype(xp.dtype)
+    nb = -(-n // step)
+    pad = nb * step + (k - 1) - xp.shape[-1]
+    if pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros(xp.shape[:-1] + (pad,), xp.dtype)], axis=-1
+        )
+    # window b covers xp[b*step : b*step + fft_n] (k-1 overlap = "save")
+    idx = (jnp.arange(nb)[:, None] * step
+           + jnp.arange(fft_n)[None, :])  # [nb, fft_n]
+    frames = xp[..., idx]  # [..., nb, fft_n]
+    yf = jnp.fft.irfft(jnp.fft.rfft(frames, n=fft_n) * tf, n=fft_n)
+    y = yf[..., k - 1:].reshape(xp.shape[:-1] + (nb * step,))[..., :n]
     return y.astype(xp.dtype)

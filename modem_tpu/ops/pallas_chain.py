@@ -101,16 +101,46 @@ def _qam_slice(ai, aq, qp):
 
 # -- the fused kernel --------------------------------------------------------
 
-def _gauss_pair(shape):
-    """Standard-normal pair via Box-Muller from the on-core PRNG."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # 24 mantissa-quality bits -> uniform in (0, 1), never exactly 0.
-    # (Mosaic has no uint32->f32 cast; the >>8 makes the value fit int32.)
-    i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
-    i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
-    u1 = (i1.astype(jnp.float32) + 0.5) * (2.0 ** -24)
-    u2 = (i2.astype(jnp.float32) + 0.5) * (2.0 ** -24)
+def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """lowbias32 avalanche hash (public-domain integer mix): the
+    counter-based PRNG for the interpret-mode noise path."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _gauss_pair(shape, interpret: bool = False, key=None, salt: int = 0):
+    """Standard-normal pair via Box-Muller.
+
+    Hardware path: the on-core PRNG (caller must ``pltpu.prng_seed`` first).
+    Interpret path (``interpret=True``): a counter-based hash stream keyed by
+    ``key`` (the same per-tile seed expression) and ``salt`` (the draw index
+    within the kernel) — no Mosaic primitives, so the identical kernel logic
+    (sigma calibration, Box-Muller, accumulation) runs in the default CPU
+    suite; only the bit source differs from hardware.
+    """
+    if interpret:
+        rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        ctr = rows * jnp.uint32(shape[1]) + cols
+        k = (jnp.asarray(key, jnp.int32).astype(jnp.uint32)
+             + jnp.uint32(salt) * jnp.uint32(0x9E3779B9))
+        b1 = _hash_u32(ctr * jnp.uint32(2654435761) + k)
+        b2 = _hash_u32(ctr * jnp.uint32(2246822519) + (k ^ jnp.uint32(0x85EBCA6B)))
+        u1 = ((b1 >> 8).astype(jnp.float32) + 0.5) * (2.0 ** -24)
+        u2 = ((b2 >> 8).astype(jnp.float32) + 0.5) * (2.0 ** -24)
+    else:
+        b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        # 24 mantissa-quality bits -> uniform in (0, 1), never exactly 0.
+        # (Mosaic has no uint32->f32 cast; the >>8 makes the value fit int32.)
+        i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
+        i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
+        u1 = (i1.astype(jnp.float32) + 0.5) * (2.0 ** -24)
+        u2 = (i2.astype(jnp.float32) + 0.5) * (2.0 ** -24)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     ang = (2.0 * np.pi) * u2
     return r * jnp.cos(ang), r * jnp.sin(ang)
@@ -126,6 +156,7 @@ def _chain_kernel(
     mode: str, mparams, bank: tuple, taps: tuple, sps: int, span: int,
     cs: int, k_real: int, sigma: float | None = None,
     carrier: tuple[int, int] | None = None,
+    interpret: bool = False,
 ):
     refs = list(refs)
     seed_ref = refs.pop(0) if sigma is not None else None
@@ -154,10 +185,13 @@ def _chain_kernel(
     slice_fn = _lut_slice if mode == "lut" else _qam_slice
     zi, zq = map_fn(syms, valid, mparams)
 
+    tile_key = None
     if sigma is not None:
-        pltpu.prng_seed(seed_ref[0, 0]
-                        + pl.program_id(0) * 1000003
-                        + pl.program_id(1) * 7919)
+        tile_key = (seed_ref[0, 0]
+                    + pl.program_id(0) * 1000003
+                    + pl.program_id(1) * 7919)
+        if not interpret:
+            pltpu.prng_seed(tile_key)
 
     # Polyphase interpolation + matched-filter decimation, one phase at a
     # time so only one phase's waveform is live in VMEM (8x smaller working
@@ -182,13 +216,34 @@ def _chain_kernel(
             sl = slice(ext_l - k, ext_l - k + n8)
             ai = ai + b * zi[sl, :]
             aq = aq + b * zq[sl, :]
-        if sigma is not None:
+        if carrier is not None:
+            # Passband leg, fully in VMEM: upconvert this phase's waveform
+            # samples (global sample index (off + t*cs + m8)*sps + p) with
+            # the exact integer-mod NCO phase (`nco.carrier_phase` formula),
+            # optionally add real AWGN, then coherent product detection with
+            # 2x gain (`demodulator.rs:52-55`). The matched filter below is
+            # the lowpass.
+            hz, sr = carrier
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, ai.shape, 0)
+            gsym = off_ref[0, 0] + t * cs + rows8
+            smod = ((gsym % sr) * sps + p) % sr
+            u = (smod * hz) % sr
+            theta = u.astype(jnp.float32) * np.float32(2.0 * np.pi / sr)
+            cth = jnp.cos(theta)
+            sth = jnp.sin(theta)
+            x = ai * cth - aq * sth
+            if sigma is not None:
+                gx, _ = _gauss_pair(x.shape, interpret, tile_key, p)
+                x = x + sigma * gx
+            ai = 2.0 * x * cth
+            aq = -2.0 * x * sth
+        elif sigma is not None:
             # AWGN on the full-rate waveform in VMEM (the matched filter
             # below then shapes it, as in the staged chain). Each tile draws
             # an independent stream; the span-symbol lookahead rows get this
             # tile's draw rather than the neighbor's — statistically
             # identical per decision (every symbol is decided exactly once).
-            gi, gq = _gauss_pair(ai.shape)
+            gi, gq = _gauss_pair(ai.shape, interpret, tile_key, p)
             ai = ai + sigma * gi
             aq = aq + sigma * gq
         for j, q in by_phase[p]:
@@ -201,10 +256,10 @@ def _chain_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "mparams", "bank", "taps", "sps", "span", "cs",
-                     "k_real", "interpret", "sigma"),
+                     "k_real", "interpret", "sigma", "carrier"),
 )
-def _fused_tmajor(syms, seed, mode, mparams, bank, taps, sps, span, cs,
-                  k_real, interpret, sigma):
+def _fused_tmajor(syms, seed, sym_off, mode, mparams, bank, taps, sps, span,
+                  cs, k_real, interpret, sigma, carrier):
     k_pad, c = syms.shape
     hb = HALO_ROWS
     n_halo = k_pad // hb
@@ -226,16 +281,21 @@ def _fused_tmajor(syms, seed, mode, mparams, bank, taps, sps, span, cs,
         lambda ci, t: (jnp.clip((t + 1) * r, 0, n_halo - 1), ci),
         memory_space=pltpu.VMEM,
     )
+    smem = pl.BlockSpec((1, 1), lambda ci, t: (0, 0),
+                        memory_space=pltpu.SMEM)
     in_specs = [prev, curr, nxt]
     args = (syms, syms, syms)
+    if carrier is not None:
+        in_specs = [smem] + in_specs
+        args = (sym_off.reshape(1, 1).astype(jnp.int32),) + args
     if sigma is not None:
-        in_specs = [pl.BlockSpec((1, 1), lambda ci, t: (0, 0),
-                                 memory_space=pltpu.SMEM)] + in_specs
+        in_specs = [smem] + in_specs
         args = (seed.reshape(1, 1).astype(jnp.int32),) + args
     return pl.pallas_call(
         functools.partial(
             _chain_kernel, mode=mode, mparams=mparams, bank=bank, taps=taps,
             sps=sps, span=span, cs=cs, k_real=k_real, sigma=sigma,
+            carrier=carrier, interpret=interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((k_pad, c), syms.dtype),
         grid=grid,
@@ -247,8 +307,12 @@ def _fused_tmajor(syms, seed, mode, mparams, bank, taps, sps, span, cs,
 
 
 def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
-               sigma=None, seed=None):
+               sigma=None, seed=None, carrier=None, sym_offset=0):
     taps = _as_f32(rrc)
+    if carrier is not None:
+        hz, sr = carrier
+        if hz * sr >= 1 << 31:
+            raise ValueError("carrier needs hz*sr < 2^31 for exact int32 NCO")
     if len(taps) != span * sps + 1:
         raise ValueError("rrc taps length must equal span*sps + 1")
     if chunk_sym < span + 1:
@@ -291,11 +355,13 @@ def _run_fused(symbols, mode, mparams, rrc, sps, span, chunk_sym, interpret,
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
     out = _fused_tmajor(
-        st, jnp.asarray(seed, jnp.int32), mode, mparams,
+        st, jnp.asarray(seed, jnp.int32), jnp.asarray(sym_offset, jnp.int32),
+        mode, mparams,
         tuple(tuple(float(v) for v in row) for row in bank),
         tuple(float(v) for v in taps),
         sps, span, chunk_sym, k, interpret,
         None if sigma is None else float(sigma),
+        None if carrier is None else (int(carrier[0]), int(carrier[1])),
     )
     return out[:k, :c].T.reshape(batch_shape + (k,)).astype(jnp.int32)
 
@@ -310,6 +376,9 @@ def fused_pulse_chain(
     interpret: bool | None = None,
     snr_db: float | None = None,
     seed=None,
+    carrier_hz: int | None = None,
+    sample_rate: int | None = None,
+    sym_offset=0,
 ) -> jnp.ndarray:
     """Loopback of the pulse-shaped chain, fused in VMEM.
 
@@ -321,17 +390,42 @@ def fused_pulse_chain(
     on the full-rate waveform *inside the kernel* by the on-core PRNG and the
     matched filter processes signal+noise. For >64-point square QAM use
     :func:`fused_pulse_chain_qam`.
+
+    ``carrier_hz`` (with ``sample_rate``) runs the *passband* loop entirely
+    in VMEM: NCO upconvert (`modulator.rs:37-48`), real-waveform AWGN, 2x
+    coherent product detection (`demodulator.rs:52-55`) — matching the staged
+    passband chain's decisions. ``sym_offset`` is the stream-global index of
+    ``symbols[..., 0]`` (traced scalar), used by sharded/streaming callers to
+    keep the NCO phase aligned across shards/blocks.
     """
     lut = np.asarray(lut, np.float32)
     if lut.shape[0] > 64:
         raise ValueError("lut path supports up to 64 points; use the qam path")
     mparams = tuple((float(i), float(q)) for i, q in lut)
+    carrier = _carrier_tuple(carrier_hz, sample_rate)
     sigma = None
     if snr_db is not None:
         es = float(np.mean(np.sum(lut * lut, axis=-1)))
-        sigma = math.sqrt(es / (10.0 ** (snr_db / 10.0)) / 2.0)
+        sigma = _snr_sigma(es, snr_db, carrier)
     return _run_fused(symbols, "lut", mparams, rrc_taps, sps, span,
-                      chunk_sym, interpret, sigma, seed)
+                      chunk_sym, interpret, sigma, seed, carrier, sym_offset)
+
+
+def _carrier_tuple(carrier_hz, sample_rate):
+    if carrier_hz is None:
+        return None
+    if sample_rate is None:
+        raise ValueError("carrier_hz needs sample_rate")
+    return (int(carrier_hz), int(sample_rate))
+
+
+def _snr_sigma(es: float, snr_db: float, carrier) -> float:
+    """Waveform-noise sigma for a decision-point Es/N0: per-rail N0/2 at
+    baseband; for passband the 2x product detector doubles the noise power
+    at the rail, so the passband sigma is halved (matches the staged sharded
+    passband chain)."""
+    denom = 4.0 if carrier is not None else 2.0
+    return math.sqrt(es / (10.0 ** (snr_db / 10.0)) / denom)
 
 
 def fused_pulse_chain_qam(
@@ -346,20 +440,25 @@ def fused_pulse_chain_qam(
     interpret: bool | None = None,
     snr_db: float | None = None,
     seed=None,
+    carrier_hz: int | None = None,
+    sample_rate: int | None = None,
+    sym_offset=0,
 ) -> jnp.ndarray:
     """Fused chain for square QAM (even ``bits_per_symbol``, incl. 256-QAM):
     constellation map and slicer are algebraic in the MSB/LSB halves, O(1)
-    in constellation size. ``snr_db`` as in :func:`fused_pulse_chain`."""
+    in constellation size. ``snr_db``/``carrier_hz``/``sym_offset`` as in
+    :func:`fused_pulse_chain`."""
     if bits_per_symbol % 2:
         raise ValueError("square QAM needs even bits_per_symbol")
     cshift = bits_per_symbol // 2
     ms = float((1 << cshift) - 1)
     a = amplitude / ms / 2.0
     mparams = (cshift, ms, float(a), math.cos(phase), math.sin(phase))
+    carrier = _carrier_tuple(carrier_hz, sample_rate)
     sigma = None
     if snr_db is not None:
         levels = 2.0 * np.arange(int(ms) + 1) - ms
         es = float(a * a * 2.0 * np.mean(levels**2))
-        sigma = math.sqrt(es / (10.0 ** (snr_db / 10.0)) / 2.0)
+        sigma = _snr_sigma(es, snr_db, carrier)
     return _run_fused(symbols, "qam", mparams, rrc_taps, sps, span,
-                      chunk_sym, interpret, sigma, seed)
+                      chunk_sym, interpret, sigma, seed, carrier, sym_offset)

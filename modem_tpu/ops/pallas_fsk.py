@@ -64,6 +64,7 @@ def _fsk_kernel(
     *refs,
     coefs: tuple, den: int, sps: int, amp: float, qshift: float,
     time_offset: int, guard: int, cs: int, sigma: float | None,
+    interpret: bool = False,
 ):
     """coefs: per-candidate-symbol fnum table (static). Decisions pick the
     candidate whose phase increment 2*pi*fnum/den is nearest the measured
@@ -108,10 +109,12 @@ def _fsk_kernel(
     wq = jnp.float32(amp) * jnp.cos(theta + jnp.float32(qshift))
 
     if sigma is not None:
-        pltpu.prng_seed(seed_ref[0, 0]
-                        + pl.program_id(0) * 1000003
-                        + pl.program_id(1) * 7919)
-        gi, gq = _gauss_pair(wi.shape)
+        tile_key = (seed_ref[0, 0]
+                    + pl.program_id(0) * 1000003
+                    + pl.program_id(1) * 7919)
+        if not interpret:
+            pltpu.prng_seed(tile_key)
+        gi, gq = _gauss_pair(wi.shape, interpret, tile_key)
         wi = wi + sigma * gi
         wq = wq + sigma * gq
 
@@ -169,7 +172,7 @@ def _fsk_tmajor(fnum, pnum, seed, coefs, den, sps, amp, qshift, time_offset,
         functools.partial(
             _fsk_kernel, coefs=coefs, den=den, sps=sps, amp=amp,
             qshift=qshift, time_offset=time_offset, guard=guard, cs=cs,
-            sigma=sigma,
+            sigma=sigma, interpret=interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((k_pad, c), jnp.int32),
         grid=grid,
@@ -301,3 +304,148 @@ def fused_fsk_chain(
         prog.fnum, prog.pnum, coefs, prog.den, rates.samples_per_symbol,
         amp, float(prog.qshift), guard, chunk_sym, interpret, sigma, seed,
     )
+
+
+# -- MSK: half-sine staggered slots, per-slot discriminator sign --------------
+
+def _msk_kernel(
+    *refs,
+    den: int, spb: int, amp: float, time_offset: int, guard: int, cs: int,
+    sigma: float | None, interpret: bool = False,
+):
+    """MSK variant: per-*slot* (half-symbol) sign planes s0/s1 in, per-slot
+    discriminator sign out. Within a slot the baseband
+    ``y = A*(s0*cos(th) - j*s1*sin(th))``, ``th = 2*pi*t/den`` (`msk.rs:12-35`)
+    is a pure tone of frequency ``-s0*s1*pi/(2*spb)``, so the interior mean of
+    the discriminator output has sign ``-s0*s1`` — the kernel emits that sign
+    bit (1 where negative); the telescoping slot-product decode back to bits
+    runs outside at slot rate (`chain.MskChain`)."""
+    if sigma is None:
+        s0prev_ref, s0curr_ref, s1prev_ref, s1curr_ref, o_ref = refs
+    else:
+        seed_ref, s0prev_ref, s0curr_ref, s1prev_ref, s1curr_ref, o_ref = refs
+    t = pl.program_id(1)
+
+    s0 = jnp.concatenate(
+        [s0prev_ref[HALO_ROWS - 1:, :], s0curr_ref[:, :]], axis=0
+    )  # [cs+1, C] slot signs (+-1)
+    s1 = jnp.concatenate(
+        [s1prev_ref[HALO_ROWS - 1:, :], s1curr_ref[:, :]], axis=0
+    )
+
+    n_rows = cs + 1
+    full = n_rows * spb
+    c_lane = s0.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (full, c_lane), 0)
+    g = (t * cs - 1) * spb + rows + time_offset
+    u = jnp.maximum(g, 0) % den
+    theta = u.astype(jnp.float32) * jnp.float32(TWO_PI / den)
+    s0_s = jnp.broadcast_to(s0[:, None, :], (n_rows, spb, c_lane)
+                            ).reshape(full, c_lane).astype(jnp.float32)
+    s1_s = jnp.broadcast_to(s1[:, None, :], (n_rows, spb, c_lane)
+                            ).reshape(full, c_lane).astype(jnp.float32)
+    wi = jnp.float32(amp) * s0_s * jnp.cos(theta)
+    wq = -jnp.float32(amp) * s1_s * jnp.sin(theta)
+
+    if sigma is not None:
+        tile_key = (seed_ref[0, 0]
+                    + pl.program_id(0) * 1000003
+                    + pl.program_id(1) * 7919)
+        if not interpret:
+            pltpu.prng_seed(tile_key)
+        gi, gq = _gauss_pair(wi.shape, interpret, tile_key)
+        wi = wi + sigma * gi
+        wq = wq + sigma * gq
+
+    ip, qp = wi[:-1, :], wq[:-1, :]
+    ci, cq = wi[1:, :], wq[1:, :]
+    dphi = _atan2(cq * ip - ci * qp, ci * ip + cq * qp)
+    d_al = jnp.concatenate(
+        [jnp.zeros((1, dphi.shape[1]), jnp.float32), dphi], axis=0
+    ).reshape(n_rows, spb, dphi.shape[1])
+    acc = jnp.sum(d_al[1:, guard:, :], axis=1)
+    o_ref[:, :] = (acc < 0).astype(jnp.int32)  # 1 where c = -1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("den", "spb", "amp", "time_offset", "guard", "cs",
+                     "interpret", "sigma"),
+)
+def _msk_tmajor(s0, s1, seed, den, spb, amp, time_offset, guard, cs,
+                interpret, sigma):
+    k_pad, c = s0.shape
+    hb = HALO_ROWS
+    r = cs // hb
+    n_halo = k_pad // hb
+    grid = (c // LANE, k_pad // cs)
+    curr = pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                        memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec(
+        (hb, LANE), lambda ci, t: (jnp.clip(t * r - 1, 0, n_halo - 1), ci),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [prev, curr, prev, curr]
+    args = (s0, s0, s1, s1)
+    if sigma is not None:
+        in_specs = [pl.BlockSpec((1, 1), lambda ci, t: (0, 0),
+                                 memory_space=pltpu.SMEM)] + in_specs
+        args = (seed.reshape(1, 1).astype(jnp.int32),) + args
+    return pl.pallas_call(
+        functools.partial(
+            _msk_kernel, den=den, spb=spb, amp=amp, time_offset=time_offset,
+            guard=guard, cs=cs, sigma=sigma, interpret=interpret,
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_pad, c), jnp.int32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_msk_slots(
+    s0: jnp.ndarray,
+    s1: jnp.ndarray,
+    spb: int,
+    amp: float,
+    guard: int = 1,
+    chunk_slots: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+    snr_db: float | None = None,
+    seed=None,
+) -> jnp.ndarray:
+    """Fused MSK synthesis + discriminator: per-slot staggered sign planes
+    ``s0``/``s1`` ``[..., 2K]`` (values +-1) -> per-slot discriminator sign
+    bits ``[..., 2K]`` (1 where the slot tone is negative, i.e. c = -1).
+
+    ``snr_db`` is per-complex-sample SNR (same convention as the FSK kernel);
+    noise is drawn in-kernel on the synthesized waveform.
+    """
+    from ..tx import REF_TIME_OFFSET
+
+    if guard < 1:
+        raise ValueError("fused MSK needs guard >= 1")
+    if guard >= spb:
+        raise ValueError("guard leaves no interior samples per slot")
+    if interpret is None:
+        interpret = _auto_interpret()
+    den = 4 * spb  # envelope period (`models/fsk.py` MSK: den = 2*sps)
+    batch_shape = s0.shape[:-1]
+    k = s0.shape[-1]
+    fl0 = s0.reshape((-1, k))
+    fl1 = s1.reshape((-1, k))
+    c = fl0.shape[0]
+    k_pad = (-k) % chunk_slots
+    c_pad = (-c) % LANE
+    p0 = jnp.pad(fl0.T.astype(jnp.int32), ((0, k_pad), (0, c_pad)))
+    p1 = jnp.pad(fl1.T.astype(jnp.int32), ((0, k_pad), (0, c_pad)))
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    sigma = None if snr_db is None else fsk_noise_sigma(amp, snr_db)
+    out = _msk_tmajor(
+        p0, p1, jnp.asarray(seed, jnp.int32), den, spb, float(amp),
+        REF_TIME_OFFSET, guard, chunk_slots, interpret, sigma,
+    )
+    return out[:k, :c].T.reshape(batch_shape + (k,))

@@ -34,6 +34,26 @@ def lut_slice(i: jnp.ndarray, q: jnp.ndarray, lut: np.ndarray) -> jnp.ndarray:
     return jnp.argmax(score, axis=-1).astype(jnp.int32)
 
 
+def diff_phase(
+    i: jnp.ndarray,
+    q: jnp.ndarray,
+    prev: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Phase change between consecutive symbol decision points,
+    ``angle(y_k * conj(y_{k-1}))`` on real I/Q planes — the differential-PSK
+    decision statistic, shared by the hard slicer and the DMPSK LLRs.
+    ``prev``: previous block's last (i, q) pair ``[..., 2]`` ((1, 0) if
+    None)."""
+    if prev is None:
+        pi_, pq_ = jnp.ones_like(i[..., :1]), jnp.zeros_like(q[..., :1])
+    else:
+        pi_, pq_ = prev[..., 0][..., None], prev[..., 1][..., None]
+    ip = jnp.concatenate([pi_, i[..., :-1]], axis=-1)
+    qp = jnp.concatenate([pq_, q[..., :-1]], axis=-1)
+    # angle(y * conj(yprev)) in real planes (no complex dtypes on TPU).
+    return jnp.arctan2(q * ip - i * qp, i * ip + q * qp)
+
+
 def diff_phase_slice(
     i: jnp.ndarray,
     q: jnp.ndarray,
@@ -47,14 +67,7 @@ def diff_phase_slice(
     pair ``[..., 2]``; defaults to the DMPSK initial phase being unknown —
     callers should seed it with cos/sin of the TX's initial phase."""
     m = 1 << bits_per_symbol
-    if prev is None:
-        pi_, pq_ = jnp.ones_like(i[..., :1]), jnp.zeros_like(q[..., :1])
-    else:
-        pi_, pq_ = prev[..., 0][..., None], prev[..., 1][..., None]
-    ip = jnp.concatenate([pi_, i[..., :-1]], axis=-1)
-    qp = jnp.concatenate([pq_, q[..., :-1]], axis=-1)
-    # angle(y * conj(yprev)) in real planes (no complex dtypes on TPU).
-    dphi = jnp.arctan2(q * ip - i * qp, i * ip + q * qp)
+    dphi = diff_phase(i, q, prev)
     sym = jnp.round(dphi / shift).astype(jnp.int32) % m
     return sym
 
@@ -75,6 +88,17 @@ def fm_discriminate(
     return jnp.arctan2(q * ip - i * qp, i * ip + q * qp)
 
 
+def fsk_symbol_means(
+    inst_freq: jnp.ndarray, sps: int, guard: int = 1
+) -> jnp.ndarray:
+    """Per-symbol mean instantaneous frequency over the interior samples
+    (``guard`` boundary samples skipped): the FSK decision statistic,
+    shared by the hard slicer and the discriminator-domain LLRs."""
+    k = inst_freq.shape[-1] // sps
+    per_sym = inst_freq[..., : k * sps].reshape(inst_freq.shape[:-1] + (k, sps))
+    return jnp.mean(per_sym[..., guard:], axis=-1)  # [..., K]
+
+
 def fsk_slice(
     inst_freq: jnp.ndarray,
     coefs: np.ndarray,
@@ -93,10 +117,7 @@ def fsk_slice(
     Discriminator Nyquist constraint: every |coef * dev| must stay below pi
     rad/sample, or the phase-increment angle wraps and symbols alias.
     """
-    k = inst_freq.shape[-1] // sps
-    per_sym = inst_freq[..., : k * sps].reshape(inst_freq.shape[:-1] + (k, sps))
-    interior = per_sym[..., guard:]
-    mean_f = jnp.mean(interior, axis=-1)  # [..., K]
+    mean_f = fsk_symbol_means(inst_freq, sps, guard)
     targets = jnp.asarray(
         np.asarray(coefs, np.float32) * np.float32(dev_rad_per_sample)
     )

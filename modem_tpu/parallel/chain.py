@@ -213,8 +213,6 @@ class ShardedPulseChain:
         from ..ops.pallas_chain import fused_pulse_chain
         from ..utils.bits import pack_bits as _pack, unpack_symbols as _unpack
 
-        if self.chain.carrier_hz is not None:
-            raise NotImplementedError("fused sharded path is baseband-only")
         ch = self.chain
         span = ch.span
         bps = ch.scheme.bits_per_symbol
@@ -230,9 +228,16 @@ class ShardedPulseChain:
             dev_seed = (jnp.asarray(seed, jnp.int32)
                         + t * jnp.int32(104729)
                         + jax.lax.axis_index("ch") * jnp.int32(15485863))
+        pb = {}
+        if ch.carrier_hz is not None:
+            # ext[..., 0] is stream-global symbol t*Kl - span; the kernel's
+            # integer NCO keeps every shard's passband phase exact.
+            pb = dict(carrier_hz=ch.carrier_hz,
+                      sample_rate=ch.rates.sample_rate,
+                      sym_offset=t * syms.shape[-1] - span)
         dec = fused_pulse_chain(
             ext, ch.lut, np.asarray(ch.rrc), ch.sps, span,
-            snr_db=snr_db, seed=dev_seed,
+            snr_db=snr_db, seed=dev_seed, **pb,
         )
         dec = dec[..., span: span + syms.shape[-1]]
         return _unpack(dec, bps)

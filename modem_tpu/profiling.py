@@ -30,10 +30,27 @@ def trace(log_dir: str):
 
 @dataclasses.dataclass(frozen=True)
 class Measurement:
-    seconds_per_call: float
+    seconds_per_call: float            # best (min) over the timing passes
     samples_per_s: float
     flops_per_s: float | None
     bytes_per_s: float | None
+    #: per-pass seconds_per_call for every timing pass (len == passes)
+    all_seconds: tuple = ()
+
+    @property
+    def spread(self) -> float:
+        """(max - min) / min over the timing passes — the run-to-run
+        variability of this device (~±15% is normal here)."""
+        if len(self.all_seconds) < 2:
+            return 0.0
+        return (max(self.all_seconds) - min(self.all_seconds)) / min(
+            self.all_seconds
+        )
+
+    @property
+    def median_seconds_per_call(self) -> float:
+        s = sorted(self.all_seconds) or [self.seconds_per_call]
+        return s[len(s) // 2]
 
     def summary(self) -> str:
         parts = [f"{self.seconds_per_call * 1e3:.3f} ms/call",
@@ -42,6 +59,8 @@ class Measurement:
             parts.append(f"{self.flops_per_s / 1e12:.3f} TFLOP/s")
         if self.bytes_per_s is not None:
             parts.append(f"{self.bytes_per_s / 1e9:.1f} GB/s")
+        if len(self.all_seconds) >= 2:
+            parts.append(f"spread {self.spread * 100:.0f}%")
         return "  ".join(parts)
 
 
@@ -51,6 +70,7 @@ def measure(
     samples_per_call: int,
     flops_per_call: int | None = None,
     bytes_per_call: int | None = None,
+    passes: int = 5,
 ) -> Measurement:
     """Time ``fn`` with the device-side repetition loop.
 
@@ -58,6 +78,10 @@ def measure(
     the loop body scans over *distinct* inputs, so XLA cannot hoist the call
     out of the loop (a constant-args loop would be loop-invariant and measure
     nothing). ``fn`` must return an array (its sum becomes the checksum).
+
+    ``passes`` timing passes are taken (>= 5 by default; this device varies
+    ±15% run-to-run); the headline number is the best pass and every pass is
+    recorded in ``all_seconds`` so callers can report the spread.
     """
     reps = jax.tree_util.tree_leaves(args_per_rep)[0].shape[0]
 
@@ -72,14 +96,16 @@ def measure(
     jitted = jax.jit(run)
     jitted(args_per_rep).block_until_ready()  # compile
     float(jitted(args_per_rep))               # absorb first-sync anomaly
-    best = float("inf")
-    for _ in range(2):
+    times = []
+    for _ in range(max(passes, 2)):
         t0 = time.perf_counter()
         float(jitted(args_per_rep))
-        best = min(best, (time.perf_counter() - t0) / reps)
+        times.append((time.perf_counter() - t0) / reps)
+    best = min(times)
     return Measurement(
         seconds_per_call=best,
         samples_per_s=samples_per_call / best,
         flops_per_s=None if flops_per_call is None else flops_per_call / best,
         bytes_per_s=None if bytes_per_call is None else bytes_per_call / best,
+        all_seconds=tuple(times),
     )

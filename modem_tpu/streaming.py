@@ -33,8 +33,6 @@ class StreamingFusedChain:
 
     def __init__(self, chain: PulseShapedChain,
                  batch_shape: tuple[int, ...] = ()):
-        if chain.carrier_hz is not None:
-            raise NotImplementedError("fused streaming is baseband-only")
         self.chain = chain
         self.bps = chain.scheme.bits_per_symbol
         self.span = chain.span
@@ -45,9 +43,16 @@ class StreamingFusedChain:
     def _run(self, ext: jnp.ndarray) -> jnp.ndarray:
         from .ops.pallas_chain import fused_pulse_chain
 
+        ch = self.chain
+        # Passband blocks need the NCO phase of the *stream-global* sample
+        # index: ext[..., 0] is global symbol _seen - 2*span.
+        pb = {}
+        if ch.carrier_hz is not None:
+            pb = dict(carrier_hz=ch.carrier_hz,
+                      sample_rate=ch.rates.sample_rate,
+                      sym_offset=self._seen - 2 * self.span)
         return fused_pulse_chain(
-            ext, self.chain.lut, np.asarray(self.chain.rrc),
-            self.chain.sps, self.span,
+            ext, ch.lut, np.asarray(ch.rrc), ch.sps, self.span, **pb,
         )
 
     def push(self, bits: jnp.ndarray) -> jnp.ndarray:

@@ -75,3 +75,52 @@ def test_hilbert_response():
     # group-delay-compensated phase ~ -pi/2
     phase = np.angle(h * np.exp(2j * np.pi * w * 11))
     np.testing.assert_allclose(phase[band], -np.pi / 2, atol=0.05)
+
+
+class TestChunkedOverlapSave:
+    """The fft backend must stitch bounded-size FFT windows, not take one
+    stream-length FFT."""
+
+    def test_long_block_matches_convolve(self):
+        """Block far longer than the FFT window: many stitched chunks."""
+        rng = np.random.default_rng(10)
+        taps = rng.normal(size=65).astype(np.float32)
+        x = rng.normal(size=(2, 5000)).astype(np.float32)
+        y, _ = fir_filter(jnp.asarray(x), taps, backend="fft")
+        ref = np.stack([np.convolve(r, taps)[:5000] for r in x])
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+    def test_fft_size_is_bounded(self):
+        """The window size depends on the taps, not the block length."""
+        from modem_tpu.ops.fir import _fir_fft
+
+        taps = np.ones(17, np.float32)
+        import jax as _jax
+
+        long = jnp.zeros((1 << 16) + 16)
+        jaxpr = _jax.make_jaxpr(lambda a: _fir_fft(a, taps))(long)
+
+        def fft_sizes(jx):
+            for eqn in jx.eqns:
+                if eqn.primitive.name == "fft":
+                    yield eqn.params["fft_lengths"][0]
+                for sub in _jax.core.jaxprs_in_params(eqn.params):
+                    yield from fft_sizes(sub)
+
+        sizes = list(fft_sizes(jaxpr.jaxpr))
+        assert sizes and max(sizes) <= 512  # 8*K rounded up, not 2^17
+
+    def test_window_too_small_rejected(self):
+        from modem_tpu.ops.fir import _fir_fft
+
+        with pytest.raises(ValueError):
+            _fir_fft(jnp.zeros(100), np.ones(33, np.float32), fft_n=48)
+
+    def test_single_window_path(self):
+        rng = np.random.default_rng(11)
+        taps = rng.normal(size=9).astype(np.float32)
+        x = rng.normal(size=40).astype(np.float32)
+        y, _ = fir_filter(jnp.asarray(x), taps, backend="fft")
+        np.testing.assert_allclose(
+            np.asarray(y), np.convolve(x, taps)[:40], atol=1e-4
+        )

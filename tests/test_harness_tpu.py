@@ -1,9 +1,12 @@
-"""Hardware-only BER harness validation (skipped on the CPU test mesh: the
-Pallas PRNG has no CPU lowering). Run with MODEM_TPU_TEST_PLATFORM=axon."""
+"""BER harness validation: Monte-Carlo points vs closed-form theory.
+
+Runs everywhere: on TPU the fused kernel draws noise with the on-core PRNG;
+off-TPU (Pallas interpret mode) the identical kernel logic draws from a
+counter-hash stream (`pallas_chain._gauss_pair(interpret=True)`), so the
+sigma calibration and Box-Muller path are validated in the default CPU suite
+too. Run with MODEM_TPU_TEST_PLATFORM=axon for the hardware-PRNG variant."""
 
 import numpy as np
-import pytest
-
 import jax
 
 from modem_tpu import Rates
@@ -15,13 +18,6 @@ from modem_tpu.models.qam import QAM
 
 RATES = Rates(baud_rate=1250, sample_rate=10000)
 
-tpu_only = pytest.mark.skipif(
-    jax.default_backend() not in ("tpu", "axon"),
-    reason="Pallas PRNG requires TPU",
-)
-
-
-@tpu_only
 class TestFusedBer:
     def test_qpsk_matches_theory(self):
         chain = qpsk_reference_chain(RATES)

@@ -145,3 +145,61 @@ class TestDemodulateCli:
         args = cli_demod.build_parser().parse_args([])
         with pytest.raises(SystemExit):
             cli_demod.run(args, b"\x00\x00" * 10, _stdio.BytesIO())
+
+
+class _TinyChunkReader(_stdio.BytesIO):
+    """Stream returning at most ``n`` bytes per read: forces the CLIs through
+    many chunk seams (constant-memory path) on small test data."""
+
+    def __init__(self, data: bytes, n: int):
+        super().__init__(data)
+        self._n = n
+
+    def read(self, size=-1):
+        return super().read(self._n if size is None or size < 0
+                            else min(size, self._n))
+
+
+class TestStreamingClis:
+    """The CLIs consume stdin in bounded chunks; output must be byte-identical
+    to one-shot processing for any chunking (state carry across seams)."""
+
+    def test_modulate_chunked_identical(self):
+        bits = np.random.default_rng(0).integers(0, 2, 4096)
+        data = "".join("01"[b] for b in bits).encode()
+        argv = ["-m", "qpsk", "-r", "10000", "-b", "1250", "--iq",
+                "--block-symbols", "128"]
+        one = _run_modulate(argv, data)
+        args = cli_mod.build_parser().parse_args(argv)
+        out = _stdio.BytesIO()
+        cli_mod.run(args, _TinyChunkReader(data, 997), out)
+        assert out.getvalue() == one
+
+    def test_modulate_chunked_passband_identical(self):
+        bits = np.random.default_rng(1).integers(0, 2, 2048)
+        data = " ".join("01"[b] for b in bits).encode()  # whitespace mixed in
+        argv = ["-m", "mfsk", "-r", "10000", "-b", "1250", "-c", "1000",
+                "--block-symbols", "64"]
+        one = _run_modulate(argv, data)
+        args = cli_mod.build_parser().parse_args(argv)
+        out = _stdio.BytesIO()
+        cli_mod.run(args, _TinyChunkReader(data, 313), out)
+        assert out.getvalue() == one
+
+    def test_demodulate_chunked_identical(self):
+        rng = np.random.default_rng(2)
+        data = (rng.integers(-2000, 2000, 5000)
+                .astype("<i2").tobytes() + b"\x7f")  # odd trailing byte
+        argv = ["-r", "10000", "-c", "900", "--block-samples", "512"]
+        args = cli_demod.build_parser().parse_args(argv)
+        one = _stdio.BytesIO()
+        cli_demod.run(args, data, one)
+        out = _stdio.BytesIO()
+        # odd chunk size: i16 words straddle every chunk seam
+        cli_demod.run(args, _TinyChunkReader(data, 1001), out)
+        assert out.getvalue() == one.getvalue()
+
+    def test_demodulate_short_stream_exits(self):
+        args = cli_demod.build_parser().parse_args(["-r", "10000"])
+        with pytest.raises(SystemExit):
+            cli_demod.run(args, b"\x00\x00" * 10, _stdio.BytesIO())

@@ -144,6 +144,27 @@ class TestShardedChain:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    def test_fused_kernel_sharded_passband_exact(self, mesh8):
+        """Sharded fused kernel with the in-kernel NCO passband loop: the
+        per-shard sym_offset keeps the carrier phase stream-global, so
+        decisions equal the single-device fused passband kernel exactly."""
+        from modem_tpu.chain import PulseShapedChain
+        from modem_tpu.models.qam import QAM
+
+        chain = PulseShapedChain(QAM(4, 0.0, 6.0), RATES, carrier_hz=2000)
+        sharded = ShardedPulseChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=96, channels=4, seed=13)
+        out = sharded.fused_roundtrip_fn()(sharded.shard_bits(bits),
+                                           jnp.int32(0))
+        single = chain.roundtrip_fused(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        err, tot = sharded.fused_ber_fn(snr_db=20.0)(
+            sharded.shard_bits(bits), jnp.int32(5)
+        )
+        assert int(tot) == bits.size
+        assert int(err) == 0
+
     def test_ber_step_low_snr_has_errors(self, mesh8):
         chain = qpsk_reference_chain(RATES)
         sharded = ShardedPulseChain(chain, mesh8)
