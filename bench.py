@@ -35,6 +35,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# sitecustomize force-sets jax_platforms="axon,cpu"; an env var alone
+# cannot override it — honor BENCH_PLATFORM=cpu via the config API.
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 import jax.numpy as jnp
 
 from modem_tpu import Rates
@@ -45,16 +50,48 @@ TARGET = 1e9  # samples/s/chip, BASELINE.md north star
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
 N_SYMBOLS = int(os.environ.get("BENCH_SYMBOLS", 4096))
 N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 16))
-MODE = os.environ.get("BENCH_MODE", "fused")  # fused | staged
+#: fused | staged | passband | dmpsk | msk | resampled — the flagship metric
+#: is "fused"; the others produce the BENCH.md rows for the remaining
+#: end-to-end configurations (all bits -> bits with on-device checksums).
+MODE = os.environ.get("BENCH_MODE", "fused")
+METRIC = ("flagship_chain_samples_per_s" if MODE == "fused"
+          else f"{MODE}_chain_samples_per_s")
+
+
+def make_roundtrip(rates):
+    if MODE in ("fused", "staged"):
+        chain = qpsk_reference_chain(rates)
+        return (chain.roundtrip_fused if MODE == "fused"
+                else chain.roundtrip), chain.scheme.bits_per_symbol
+    if MODE == "passband":
+        from modem_tpu.chain import PulseShapedChain
+        from modem_tpu.models.psk import QPSK
+
+        chain = PulseShapedChain(QPSK(0.0, 1.0), rates, carrier_hz=2000)
+        return chain.roundtrip_fused, 2
+    if MODE == "dmpsk":
+        from modem_tpu import make_scheme
+        from modem_tpu.chain import DifferentialChain
+
+        chain = DifferentialChain(make_scheme("dqpsk", rates), rates)
+        return chain.roundtrip_fused, 2
+    if MODE == "msk":
+        from modem_tpu.chain import MskChain
+
+        chain = MskChain(rates)
+        return chain.roundtrip_fused, 2
+    if MODE == "resampled":
+        from modem_tpu.models.qam import QAM
+        from modem_tpu.resampled import ResampledChain
+
+        chain = ResampledChain(QAM(4, 0.0, 1.0), rates, up=3, down=2)
+        return chain.roundtrip, 4
+    raise SystemExit(f"unknown BENCH_MODE {MODE!r}")
 
 
 def main():
     rates = Rates(baud_rate=1250, sample_rate=10000)  # sps = 8
-    chain = qpsk_reference_chain(rates)
-    bps = chain.scheme.bits_per_symbol
-
-    roundtrip = (chain.roundtrip_fused if MODE == "fused"
-                 else chain.roundtrip)
+    roundtrip, bps = make_roundtrip(rates)
 
     def run(blocks):
         def body(carry, blk):
@@ -76,7 +113,7 @@ def main():
     fn(blocks).block_until_ready()  # compile
     checksum = int(fn(blocks))      # absorb the first-sync tunnel anomaly
     if checksum != expect:
-        print(json.dumps({"metric": "flagship_chain_samples_per_s",
+        print(json.dumps({"metric": METRIC,
                           "value": 0.0, "unit": "samples/s",
                           "vs_baseline": 0.0,
                           "error": "bit errors in noiseless roundtrip"}))
@@ -95,7 +132,7 @@ def main():
               if len(rates_seen) >= 2 else 0.0)
 
     print(json.dumps({
-        "metric": "flagship_chain_samples_per_s",
+        "metric": METRIC,
         "value": round(best, 1),
         "unit": "samples/s",
         "vs_baseline": round(best / TARGET, 3),

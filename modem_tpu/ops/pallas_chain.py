@@ -303,6 +303,12 @@ def _fused_tmajor(syms, seed, sym_off, mode, mparams, bank, taps, sps, span,
         out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        # Channel tiles are independent ("parallel" lets Mosaic pipeline
+        # them); time tiles share nothing either, but halo index maps reread
+        # neighbor blocks, so keep that dimension "arbitrary". Measured +3%
+        # on the target chip (BENCH.md round-2 ablation).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*args)
 
 

@@ -180,6 +180,8 @@ def _fsk_tmajor(fnum, pnum, seed, coefs, den, sps, amp, qshift, time_offset,
         out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*args)
 
 
@@ -402,6 +404,8 @@ def _msk_tmajor(s0, s1, seed, den, spb, amp, time_offset, guard, cs,
         out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*args)
 
 

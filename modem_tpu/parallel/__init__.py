@@ -22,14 +22,15 @@ compiled over ICI/DCN via ``jax.shard_map`` — no custom transport.
 from .mesh import make_modem_mesh
 from .collectives import left_halo, right_halo, exclusive_prefix
 from .fir import fir_with_halo, sharded_fir
-from .chain import ShardedPulseChain
+from .chain import ShardedDifferentialChain, ShardedPulseChain
 from .modulator import time_sharded_baseband
 from .rx import sharded_demodulate
 from .fsk import time_sharded_fsk_roundtrip_fn
 
 __all__ = [
     "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
-    "fir_with_halo", "sharded_fir", "ShardedPulseChain",
+    "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
+    "ShardedPulseChain",
     "time_sharded_baseband", "sharded_demodulate",
     "time_sharded_fsk_roundtrip_fn",
 ]

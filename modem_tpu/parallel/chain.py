@@ -269,3 +269,81 @@ class ShardedPulseChain:
         fn = jax.shard_map(step, mesh=self.mesh, in_specs=(spec, P()),
                            out_specs=(P(), P()), check_vma=False)
         return jax.jit(fn)
+
+
+class ShardedDifferentialChain:
+    """Time/channel-sharded fused DMPSK (`dmpsk.rs` as a distributed
+    program): the phase accumulator's modular prefix is split into a local
+    ``cummod`` plus one :func:`..parallel.collectives.exclusive_prefix` of
+    per-shard totals; each device then runs the fused LUT kernel on its
+    accumulated-symbol block (with ppermute symbol halos, as the LUT path),
+    and the differential decode stitches across shards with one more
+    ppermute of the final decision. Noiseless decisions exactly equal
+    :meth:`modem_tpu.chain.DifferentialChain.roundtrip_fused`.
+    """
+
+    def __init__(self, chain, mesh: Mesh):
+        import math as _math
+
+        from ..chain import DifferentialChain
+
+        if not isinstance(chain, DifferentialChain):
+            raise TypeError("needs a DifferentialChain")
+        sch = chain.scheme
+        inv = 1.0 / sch.shift_turns
+        m_ph = round(inv)
+        if abs(inv - m_ph) > 1e-9 or m_ph != 1 << sch.bits_per_symbol:
+            raise NotImplementedError(
+                "fused DMPSK needs shift = 2*pi / 2^bits_per_symbol"
+            )
+        self.chain = chain
+        self.mesh = mesh
+        self.t_dev = mesh.shape["time"]
+        self.m_ph = m_ph
+        ang = 2.0 * _math.pi * (sch.phase0_turns + np.arange(m_ph) / m_ph)
+        self.lut = np.stack(
+            [sch.amplitude * np.cos(ang), sch.amplitude * np.sin(ang)],
+            axis=-1,
+        ).astype(np.float32)
+
+    def _local(self, bits_l: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas_chain import fused_pulse_chain
+        from ..utils.scan import cummod
+        from .collectives import exclusive_prefix
+
+        ch = self.chain
+        bps = ch.scheme.bits_per_symbol
+        span = ch.span
+        syms = pack_bits(bits_l, bps)
+        acc_l = cummod(syms.astype(jnp.int32), self.m_ph)
+        off = exclusive_prefix(acc_l[..., -1], "time") % self.m_ph
+        acc = (acc_l + off[..., None]) % self.m_ph
+        t = jax.lax.axis_index("time")
+        left = left_halo(acc, span, "time")
+        right = right_halo(acc, span + 1, "time")
+        left = jnp.where(t == 0, -1, left)
+        right = jnp.where(t == self.t_dev - 1, -1, right)
+        ext = jnp.concatenate([left, acc, right], axis=-1)
+        dec_abs = fused_pulse_chain(
+            ext, self.lut, np.asarray(ch.rrc), ch.sps, span
+        )
+        dec_abs = dec_abs[..., span: span + acc.shape[-1]]
+        # Differential decode across the shard seam: the previous absolute
+        # decision for this shard's first symbol is the left neighbor's last
+        # (device 0 receives 0 = the TX initial phase index).
+        prev_last = left_halo(dec_abs, 1, "time")
+        prev = jnp.concatenate([prev_last, dec_abs[..., :-1]], axis=-1)
+        dec = (dec_abs - prev) % self.m_ph
+        return unpack_symbols(dec, bps)
+
+    def fused_roundtrip_fn(self):
+        """jit(f(bits [C, K*bps]) -> decided bits), sharded over the mesh."""
+        spec = P("ch", "time")
+        fn = jax.shard_map(self._local, mesh=self.mesh, in_specs=(spec,),
+                           out_specs=spec, check_vma=False)
+        return jax.jit(fn)
+
+    def shard_bits(self, bits: jnp.ndarray) -> jnp.ndarray:
+        return jax.device_put(
+            bits, NamedSharding(self.mesh, P("ch", "time"))
+        )

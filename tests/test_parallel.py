@@ -230,3 +230,28 @@ class TestTimeShardedModulator:
         si, sq = time_sharded_baseband(mod, bits, mesh8)
         np.testing.assert_allclose(np.asarray(si), np.asarray(ri), atol=1e-6)
         np.testing.assert_allclose(np.asarray(sq), np.asarray(rq), atol=1e-6)
+
+
+class TestShardedDifferentialChain:
+    def test_fused_dmpsk_sharded_exact(self, mesh8):
+        """Distributed fused DMPSK: cross-device modular prefix + fused LUT
+        kernel + seam-stitched differential decode == single-device fused
+        roundtrip == input bits."""
+        from modem_tpu import make_scheme
+        from modem_tpu.chain import DifferentialChain
+        from modem_tpu.parallel import ShardedDifferentialChain
+
+        chain = DifferentialChain(make_scheme("dqpsk", RATES), RATES)
+        sharded = ShardedDifferentialChain(chain, mesh8)
+        bits = bits_for(chain.scheme, n_sym=96, channels=4, seed=31)
+        out = sharded.fused_roundtrip_fn()(sharded.shard_bits(bits))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(chain.roundtrip_fused(bits))
+        )
+
+    def test_rejects_non_differential(self, mesh8):
+        from modem_tpu.parallel import ShardedDifferentialChain
+
+        with pytest.raises(TypeError):
+            ShardedDifferentialChain(qpsk_reference_chain(RATES), mesh8)
