@@ -185,6 +185,72 @@ class PulseShapedChain:
         return lut_llr(di, dq, self.lut, self.scheme.bits_per_symbol,
                        noise_var)
 
+    # ---- fused one-way paths (production TX / RX halves) ----
+
+    def _txrx_params(self):
+        """(lut, qam_params) for :mod:`modem_tpu.ops.pallas_txrx` — square
+        QAM takes the O(1) algebraic path, everything else the LUT path."""
+        from .models.qam import QAM
+        from .ops.pallas_txrx import qam_mparams
+
+        bps = self.scheme.bits_per_symbol
+        if isinstance(self.scheme, QAM) and bps % 2 == 0:
+            return None, qam_mparams(bps, self.scheme.phase,
+                                     self.scheme.amplitude)
+        return self.lut, None
+
+    def tx_fused(self, bits: jnp.ndarray, sym_offset=0,
+                 out_scale: float | None = None):
+        """bits -> waveform via the fused TX kernel
+        (:func:`modem_tpu.ops.pallas_txrx.fused_tx`): same output as
+        :meth:`tx` up to f32 reassociation, one VMEM-resident pass.
+        ``out_scale`` emits int16 (the CLI wire format) at half the HBM
+        write cost."""
+        from .ops.pallas_txrx import fused_tx
+
+        lut, qp = self._txrx_params()
+        return fused_tx(
+            self.map_symbols(bits), lut, np.asarray(self.rrc), self.sps,
+            self.span, carrier_hz=self.carrier_hz,
+            sample_rate=self.rates.sample_rate
+            if self.carrier_hz is not None else None,
+            sym_offset=sym_offset, qam_params=qp, out_scale=out_scale,
+        )
+
+    def rx_fused(self, rx_wave, n_symbols: int, sym_offset=0) -> jnp.ndarray:
+        """waveform -> decided bits via the fused RX kernel — decisions equal
+        :meth:`rx` (tested)."""
+        from .ops.pallas_txrx import fused_rx
+
+        lut, qp = self._txrx_params()
+        syms = fused_rx(
+            rx_wave, n_symbols, lut, np.asarray(self.rrc), self.sps,
+            self.span, carrier_hz=self.carrier_hz,
+            sample_rate=self.rates.sample_rate
+            if self.carrier_hz is not None else None,
+            sym_offset=sym_offset, qam_params=qp,
+        )
+        return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def rx_soft_fused(self, rx_wave, n_symbols: int,
+                      noise_var: float = 1.0, sym_offset=0) -> jnp.ndarray:
+        """waveform -> per-bit LLRs: fused matched filter + decimation to
+        decision-point I/Q (the reference's own RX product,
+        `demodulate.rs:41-43`), then the symbol-rate LLR layer."""
+        from .ops.llr import lut_llr
+        from .ops.pallas_txrx import fused_rx
+
+        lut, qp = self._txrx_params()
+        di, dq = fused_rx(
+            rx_wave, n_symbols, lut, np.asarray(self.rrc), self.sps,
+            self.span, carrier_hz=self.carrier_hz,
+            sample_rate=self.rates.sample_rate
+            if self.carrier_hz is not None else None,
+            sym_offset=sym_offset, qam_params=qp, soft=True,
+        )
+        return lut_llr(di, dq, self.lut, self.scheme.bits_per_symbol,
+                       noise_var)
+
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         """Noiseless bits -> bits (must be exactly equal for sane configs)."""
         k = bits.shape[-1] // self.scheme.bits_per_symbol

@@ -81,3 +81,140 @@ class StreamingFusedChain:
         self._seen = 0
         self._tail = jnp.full(self.batch_shape + (2 * d,), -1, jnp.int32)
         return unpack_symbols(out, self.bps)
+
+
+class StreamingFusedTx:
+    """Unbounded bits -> waveform through the fused TX kernel
+    (:func:`modem_tpu.ops.pallas_txrx.fused_tx`).
+
+    The pulse shaper only looks *back* ``span`` symbols, so TX streaming has
+    no decision lag: ``push(bits)`` with ``L`` symbols returns exactly
+    ``L*sps`` final waveform samples; the carry is the last ``span`` symbols.
+    ``flush()`` emits the ``span*sps``-sample zero-flush tail. Concatenated
+    pushes + flush equal the one-shot :meth:`PulseShapedChain.tx_fused`
+    output exactly (same kernel, same summation order — tested across random
+    splits)."""
+
+    def __init__(self, chain: PulseShapedChain,
+                 batch_shape: tuple[int, ...] = (),
+                 out_scale: float | None = None):
+        self.chain = chain
+        self.bps = chain.scheme.bits_per_symbol
+        self.span = chain.span
+        self.batch_shape = batch_shape
+        self.out_scale = out_scale
+        self._tail = jnp.full(batch_shape + (self.span,), -1, jnp.int32)
+        self._seen = 0
+
+    def _run(self, ext: jnp.ndarray):
+        from .ops.pallas_txrx import fused_tx
+
+        ch = self.chain
+        lut, qp = ch._txrx_params()
+        wave = fused_tx(
+            ext, lut, np.asarray(ch.rrc), ch.sps, self.span,
+            carrier_hz=ch.carrier_hz,
+            sample_rate=ch.rates.sample_rate
+            if ch.carrier_hz is not None else None,
+            sym_offset=self._seen - self.span, qam_params=qp,
+            out_scale=self.out_scale,
+        )
+        return (wave,) if ch.carrier_hz is not None else wave
+
+    def push(self, bits: jnp.ndarray):
+        """``[..., L*bps]`` bits -> ``[..., L*sps]`` final waveform samples
+        (``(i, q)`` tuple at baseband, real array at passband)."""
+        if bits.shape[:-1] != self.batch_shape:
+            raise ValueError("batch shape is fixed at construction")
+        syms = pack_bits(bits, self.bps)
+        length = syms.shape[-1]
+        d, sps = self.span, self.chain.sps
+        ext = jnp.concatenate([self._tail, syms], axis=-1)
+        waves = self._run(ext)
+        out = tuple(w[..., d * sps: (d + length) * sps] for w in waves)
+        self._tail = ext[..., ext.shape[-1] - d:]
+        self._seen += length
+        return out[0] if self.chain.carrier_hz is not None else out
+
+    def flush(self):
+        """Emit the ``span*sps`` flush-tail samples; the stream is then
+        finished."""
+        d, sps = self.span, self.chain.sps
+        waves = self._run(self._tail)
+        out = tuple(w[..., d * sps: 2 * d * sps] for w in waves)
+        self._seen = 0
+        self._tail = jnp.full(self.batch_shape + (d,), -1, jnp.int32)
+        return out[0] if self.chain.carrier_hz is not None else out
+
+
+class StreamingFusedRx:
+    """Unbounded waveform -> bits through the fused RX kernel
+    (:func:`modem_tpu.ops.pallas_txrx.fused_rx`).
+
+    The matched filter looks *forward* ``span`` symbols, so decisions lag the
+    input by ``span*sps`` samples: the carry is the last ``span*sps``
+    samples. Pushing a TX stream including its flush tail yields exactly all
+    K decisions; :meth:`flush` finalizes against zeros for truncated streams.
+    Push lengths must be multiples of ``sps``."""
+
+    def __init__(self, chain: PulseShapedChain,
+                 batch_shape: tuple[int, ...] = ()):
+        self.chain = chain
+        self.bps = chain.scheme.bits_per_symbol
+        self.span = chain.span
+        self.batch_shape = batch_shape
+        n_wave = 1 if chain.carrier_hz is not None else 2
+        self._tail = [jnp.zeros(batch_shape + (self.span * chain.sps,),
+                                jnp.float32) for _ in range(n_wave)]
+        self._seen = 0  # stream samples consumed so far
+
+    def _run(self, ext, n_symbols: int):
+        from .ops.pallas_txrx import fused_rx
+
+        ch = self.chain
+        lut, qp = ch._txrx_params()
+        return fused_rx(
+            ext[0] if ch.carrier_hz is not None else tuple(ext),
+            n_symbols, lut, np.asarray(ch.rrc), ch.sps, self.span,
+            carrier_hz=ch.carrier_hz,
+            sample_rate=ch.rates.sample_rate
+            if ch.carrier_hz is not None else None,
+            sym_offset=self._seen // ch.sps - self.span, qam_params=qp,
+        )
+
+    def push(self, wave) -> jnp.ndarray:
+        """``[..., L]`` waveform samples (``L % sps == 0``) -> newly-final
+        decided bits (lagging ``span`` symbols)."""
+        waves = ([wave] if self.chain.carrier_hz is not None
+                 else list(wave))
+        sps, d = self.chain.sps, self.span
+        length = waves[0].shape[-1]
+        if length % sps:
+            raise ValueError("push length must be a multiple of sps")
+        ext = [jnp.concatenate([t, w.astype(jnp.float32)], axis=-1)
+               for t, w in zip(self._tail, waves)]
+        dec = self._run(ext, length // sps)
+        # ext symbol 0 is global symbol _seen/sps - span: the first `skip`
+        # local decisions predate the stream on early calls.
+        skip = max(0, d - self._seen // sps)
+        out = dec[..., skip:]
+        self._tail = [e[..., e.shape[-1] - d * sps:] for e in ext]
+        self._seen += length
+        return unpack_symbols(out, self.bps)
+
+    def flush(self) -> jnp.ndarray:
+        """Finalize pending decisions against a zero tail (for streams
+        truncated before the TX flush); the stream is then finished."""
+        sps, d = self.chain.sps, self.span
+        pending = min(d, self._seen // sps)
+        if pending == 0:
+            out = jnp.zeros(self.batch_shape + (0,), jnp.int32)
+            return unpack_symbols(out, self.bps)
+        ext = [jnp.concatenate(
+            [t, jnp.zeros(self.batch_shape + (d * sps,), jnp.float32)],
+            axis=-1) for t in self._tail]
+        dec = self._run(ext, d)
+        out = dec[..., d - pending: d]
+        self._seen = 0
+        self._tail = [jnp.zeros_like(t) for t in self._tail]
+        return unpack_symbols(out, self.bps)

@@ -1,0 +1,127 @@
+"""Fused one-way TX / RX kernels (`modem_tpu.ops.pallas_txrx`) vs the staged
+chain: waveform parity, exact decisions, soft decision points, passband NCO,
+QAM algebraic path, int16 wire output."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from modem_tpu import Rates
+from modem_tpu.chain import PulseShapedChain, qpsk_reference_chain
+from modem_tpu.models.psk import QPSK
+from modem_tpu.models.apsk import APSK, Ring
+from modem_tpu.models.qam import QAM
+from modem_tpu.ops.pallas_txrx import fused_tx, fused_rx, qam_mparams
+
+RATES = Rates(1250, 10000)  # sps = 8
+
+
+def _bits(rng, channels, n_symbols, bps):
+    return jnp.asarray(
+        rng.integers(0, 2, (channels, n_symbols * bps)).astype(np.int32))
+
+
+@pytest.fixture(scope="module")
+def qpsk_chain():
+    return qpsk_reference_chain(RATES)
+
+
+def test_tx_fused_matches_staged(qpsk_chain):
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(0), 3, 500, 2)
+    si, sq = ch.tx(bits)
+    fi, fq = ch.tx_fused(bits)
+    assert fi.shape == si.shape
+    np.testing.assert_allclose(fi, si, atol=1e-6)
+    np.testing.assert_allclose(fq, sq, atol=1e-6)
+
+
+def test_rx_fused_matches_staged(qpsk_chain):
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(1), 3, 500, 2)
+    wave = ch.tx(bits)
+    assert jnp.array_equal(ch.rx_fused(wave, 500), ch.rx(wave, 500))
+
+
+def test_fused_tx_to_fused_rx_roundtrip(qpsk_chain):
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(2), 2, 700, 2)
+    assert jnp.array_equal(ch.rx_fused(ch.tx_fused(bits), 700), bits)
+
+
+def test_soft_decision_points(qpsk_chain):
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(3), 2, 300, 2)
+    wave = ch.tx(bits)
+    llr_staged = ch.rx_soft(wave, 300, noise_var=0.5)
+    llr_fused = ch.rx_soft_fused(wave, 300, noise_var=0.5)
+    np.testing.assert_allclose(llr_fused, llr_staged, atol=1e-4)
+    # sign of LLR == hard decision on every bit
+    assert jnp.array_equal((llr_fused < 0).astype(jnp.int32),
+                           ch.rx(wave, 300))
+
+
+def test_passband_tx_rx():
+    ch = PulseShapedChain(QPSK(0.0, 1.0), RATES, carrier_hz=2000)
+    bits = _bits(np.random.default_rng(4), 2, 400, 2)
+    x_staged = ch.tx(bits)
+    x_fused = ch.tx_fused(bits)
+    np.testing.assert_allclose(x_fused, x_staged, atol=1e-5)
+    assert jnp.array_equal(ch.rx_fused(x_fused, 400), bits)
+    assert jnp.array_equal(ch.rx_fused(x_staged, 400), ch.rx(x_staged, 400))
+
+
+def test_qam256_algebraic_path():
+    ch = PulseShapedChain(QAM(8, 0.0, 1.0), RATES)
+    bits = _bits(np.random.default_rng(5), 2, 300, 8)
+    si, sq = ch.tx(bits)
+    fi, fq = ch.tx_fused(bits)
+    np.testing.assert_allclose(fi, si, atol=1e-6)
+    assert jnp.array_equal(ch.rx_fused((fi, fq), 300), bits)
+
+
+def test_apsk_lut_path():
+    ch = PulseShapedChain(
+        APSK(1.0, 4, [Ring(0, 4, 0.5, np.pi / 4),
+                      Ring(4, 16, 1.0, np.pi / 12)]), RATES)
+    bits = _bits(np.random.default_rng(6), 2, 300, 4)
+    assert jnp.array_equal(ch.rx_fused(ch.tx_fused(bits), 300), bits)
+
+
+def test_int16_wire_output(qpsk_chain):
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(7), 2, 200, 2)
+    fi, fq = ch.tx_fused(bits)
+    xi, xq = ch.tx_fused(bits, out_scale=16384.0)
+    assert xi.dtype == jnp.int16
+    np.testing.assert_array_equal(
+        np.asarray(xi), np.round(np.asarray(fi) * 16384.0).astype(np.int16))
+    # quantized waveform still decodes exactly after rescale
+    dec = ch.rx_fused((xi.astype(jnp.float32) / 16384.0,
+                       xq.astype(jnp.float32) / 16384.0), 200)
+    assert jnp.array_equal(dec, bits)
+
+
+def test_batch_shape_and_short_blocks(qpsk_chain):
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(8), 1, 40, 2).reshape(40 * 2)
+    wave = ch.tx_fused(bits)
+    assert wave[0].shape == ((40 + ch.span) * ch.sps,)
+    assert jnp.array_equal(ch.rx_fused(wave, 40), bits)
+
+
+def test_rx_rejects_short_waveform(qpsk_chain):
+    ch = qpsk_chain
+    with pytest.raises(ValueError, match="shorter"):
+        fused_rx((jnp.zeros((100,)), jnp.zeros((100,))), 50, ch.lut,
+                 np.asarray(ch.rrc), ch.sps, ch.span)
+
+
+def test_tx_arg_validation(qpsk_chain):
+    ch = qpsk_chain
+    syms = jnp.zeros((1, 32), jnp.int32)
+    with pytest.raises(ValueError, match="exactly one"):
+        fused_tx(syms, ch.lut, np.asarray(ch.rrc), ch.sps, ch.span,
+                 qam_params=qam_mparams(4, 0.0, 1.0))
+    with pytest.raises(ValueError, match="taps length"):
+        fused_tx(syms, ch.lut, np.ones(7, np.float32), ch.sps, ch.span)
