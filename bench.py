@@ -80,12 +80,13 @@ def make_roundtrip(rates):
 
         chain = MskChain(rates)
         return chain.roundtrip_fused, 2
-    if MODE == "resampled":
+    if MODE in ("resampled", "resampled_fused"):
         from modem_tpu.models.qam import QAM
         from modem_tpu.resampled import ResampledChain
 
         chain = ResampledChain(QAM(4, 0.0, 1.0), rates, up=3, down=2)
-        return chain.roundtrip, 4
+        return (chain.roundtrip_fused if MODE == "resampled_fused"
+                else chain.roundtrip), 4
     raise SystemExit(f"unknown BENCH_MODE {MODE!r}")
 
 

@@ -57,6 +57,8 @@ def rows():
                     TWO_PI * 50 / 10000).roundtrip_fused)
     yield ("staged resampled 16-QAM 3/2 (cfg #4)", 4,
            ResampledChain(QAM(4, 0.0, 1.0), RATES, 3, 2).roundtrip)
+    yield ("fused resampled 16-QAM 3/2 (cfg #4)", 4,
+           ResampledChain(QAM(4, 0.0, 1.0), RATES, 3, 2).roundtrip_fused)
 
 
 def bench(name, bps, roundtrip, n_symbols):

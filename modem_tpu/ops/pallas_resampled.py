@@ -186,9 +186,55 @@ def _resampled_tx_tmajor(syms, mparams, bank, h1, sps, span, up, down, cs,
 # RX: channel-rate waveform -> decisions
 # --------------------------------------------------------------------------
 
-def _resampled_rx_kernel(*refs, mparams, h2, taps, sps, span, up, down,
-                         cs, d, pb, nb, n2):
-    (pi_ref, ci_ref, ni_ref, pq_ref, cq_ref, nq_ref, o_ref) = refs
+def _composite_rx_weights(taps, h2, sps: int, up: int, down: int, d: int,
+                          pb: int):
+    """Collapse stage-2 resampling + matched filter + decimation into one
+    periodically-time-varying channel-rate -> symbol-rate stage.
+
+    Substituting ``y2[n] = sum_k h2[k*down + (n*up)%down] *
+    yc[(n*up)//down - k]`` into ``z[m] = sum_j taps[j] * y2[m*sps + d - j]``
+    gives ``z[m] = sum_o G_rho[o] * yc[(m//P)*S_g + o - pb]`` with period
+    ``P = down / gcd(sps*up, down)`` (``rho = m % P``) and input group
+    ``S_g = sps*up / gcd(sps*up, down)`` — the same slice-weight form as a
+    plain rational stage, with *fewer* total taps than running the two
+    stages separately (and no intermediate modem-rate array, which Mosaic's
+    layout assignment could not handle next to a second regrouping).
+    Returns ``(P, S_g, {rho: {q: np[S_g]}})``.
+    """
+    g = math.gcd(sps * up, down)
+    P = down // g
+    S_g = sps * up // g
+    h2 = np.asarray(h2, np.float32)
+    kp2 = -(-len(h2) // down)
+    out = {}
+    for rho in range(P):
+        rows: dict[int, np.ndarray] = {}
+        for j in range(len(taps)):
+            tj = float(taps[j])
+            if tj == 0.0:
+                continue
+            e = d - j  # y2 offset; e >= 0 since d >= len(taps) - 1
+            num = (rho * sps + e) * up
+            p = num % down
+            base = num // down
+            for k in range(kp2):
+                idx = k * down + p
+                h = float(h2[idx]) if idx < len(h2) else 0.0
+                if h == 0.0:
+                    continue
+                o = base - k + pb
+                if o < 0:
+                    raise ValueError("composite lookback exceeds the halo")
+                q, i = divmod(o, S_g)
+                row = rows.setdefault(q, np.zeros(S_g, np.float32))
+                row[i] += tj * h
+        out[rho] = rows
+    return P, S_g, out
+
+
+def _resampled_rx_kernel(*refs, mparams, wts, P, S_g, sps, up, down,
+                         cs, pb, soft):
+    (pi_ref, ci_ref, ni_ref, pq_ref, cq_ref, nq_ref, *out_refs) = refs
     t = pl.program_id(1)
     s_in = cs * sps * up // down  # channel rows per tile
 
@@ -203,48 +249,29 @@ def _resampled_rx_kernel(*refs, mparams, h2, taps, sps, span, up, down,
     yc_i = window(pi_ref, ci_ref, ni_ref)
     yc_q = window(pq_ref, cq_ref, nq_ref)
     c = yc_i.shape[1]
-    n_c = yc_i.shape[0]  # pb + s_in + nb, multiple of `up`
+    n_c = yc_i.shape[0]  # pb + s_in + nb, multiple of S_g
 
-    # Stage rs2 (rational down/up): y2 rows [M0*sps, M0*sps + n2) at the
-    # modem rate; y2 local n = g*down + r reads yc[(n*up)//down - k] ->
-    # local base offset pb into the window view.
-    wts2 = _stage_weights(h2, down, up, pb)
-    g2 = n2 // down
-    yc3_i = yc_i.reshape(n_c // up, up, c)
-    yc3_q = yc_q.reshape(n_c // up, up, c)
-    y2_i = _apply_stage(yc3_i, wts2, down, g2)  # [n2, C]
-    y2_q = _apply_stage(yc3_q, wts2, down, g2)
-
-    # Matched filter + delay-compensated decimation:
-    # z[m] = sum_j taps[j] * y2[m*sps + d - j]; offsets a = d - j >= 0 since
-    # d = span*sps + resample_delay >= len(taps) - 1.
-    w_rows: dict[int, np.ndarray] = {}
-    for j in range(len(taps)):
-        if taps[j] == 0.0:
-            continue
-        a = d - j
-        q, p = divmod(a, sps)
-        w_rows.setdefault(q, np.zeros(sps, np.float32))[p] = taps[j]
-    y3_i = y2_i.reshape(n2 // sps, sps, c)
-    y3_q = y2_q.reshape(n2 // sps, sps, c)
-    acc3_i = jnp.zeros((cs, sps, c), jnp.float32)
-    acc3_q = jnp.zeros((cs, sps, c), jnp.float32)
-    for q, w_np in sorted(w_rows.items()):
-        w = _weight_row(w_np, sps)
-        acc3_i = acc3_i + y3_i[q: q + cs, :, :] * w
-        acc3_q = acc3_q + y3_q[q: q + cs, :, :] * w
-    acc_i = jnp.sum(acc3_i, axis=1)
-    acc_q = jnp.sum(acc3_q, axis=1)
-    o_ref[:, :] = _lut_slice(acc_i, acc_q, mparams).astype(o_ref.dtype)
+    # One composite channel-rate -> symbol-rate stage per rail.
+    rails = []
+    for yc in (yc_i, yc_q):
+        yc3 = yc.reshape(n_c // S_g, S_g, c)
+        z = _apply_stage(yc3, wts, P, cs // P)  # [cs, C]
+        rails.append(z)
+    if soft:
+        out_refs[0][:, :] = rails[0]
+        out_refs[1][:, :] = rails[1]
+    else:
+        out_refs[0][:, :] = _lut_slice(rails[0], rails[1], mparams).astype(
+            out_refs[0].dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mparams", "h2", "taps", "sps", "span", "up", "down",
-                     "cs", "d", "pb", "nb", "n2", "k_pad", "interpret"),
+                     "cs", "d", "pb", "nb", "k_pad", "interpret", "soft"),
 )
 def _resampled_rx_tmajor(wave_i, wave_q, mparams, h2, taps, sps, span, up,
-                         down, cs, d, pb, nb, n2, k_pad, interpret):
+                         down, cs, d, pb, nb, k_pad, interpret, soft):
     n_rows, c = wave_i.shape
     s_in = cs * sps * up // down
     grid = (c // LANE, k_pad // cs)
@@ -264,17 +291,24 @@ def _resampled_rx_tmajor(wave_i, wave_q, mparams, h2, taps, sps, span, up,
     )
     n_points = len(mparams)
     o_dtype = jnp.int8 if n_points <= 127 else jnp.int32
+    P, S_g, wts = _composite_rx_weights(taps, h2, sps, up, down, d, pb)
+    out_spec = pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                            memory_space=pltpu.VMEM)
+    if soft:
+        out_shape = [jax.ShapeDtypeStruct((k_pad, c), jnp.float32)] * 2
+        out_specs = [out_spec] * 2
+    else:
+        out_shape = jax.ShapeDtypeStruct((k_pad, c), o_dtype)
+        out_specs = out_spec
     return pl.pallas_call(
         functools.partial(
-            _resampled_rx_kernel, mparams=mparams, h2=h2, taps=taps,
-            sps=sps, span=span, up=up, down=down, cs=cs, d=d, pb=pb, nb=nb,
-            n2=n2,
+            _resampled_rx_kernel, mparams=mparams, wts=wts, P=P, S_g=S_g,
+            sps=sps, up=up, down=down, cs=cs, pb=pb, soft=soft,
         ),
-        out_shape=jax.ShapeDtypeStruct((k_pad, c), o_dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[prev, curr, nxt, prev, curr, nxt],
-        out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -380,12 +414,15 @@ def fused_resampled_rx(
     delay: int,
     chunk_sym: int | None = None,
     interpret: bool | None = None,
-) -> jnp.ndarray:
+    soft: bool = False,
+):
     """Channel-rate ``(i, q)`` -> int32 decisions ``[..., n_symbols]``.
 
     ``delay`` is the chain's total decision delay in modem-rate samples
     (:attr:`ResampledChain.delay` = ``span*sps + resample_delay``).
-    Decisions equal :meth:`ResampledChain.rx` in practice.
+    Decisions equal :meth:`ResampledChain.rx` in practice. ``soft=True``
+    returns the matched-filter decision-point ``(i, q)`` float32 instead,
+    for the LLR layer.
     """
     lut = np.asarray(lut, np.float32)
     mparams = tuple((float(i), float(q)) for i, q in lut)
@@ -396,17 +433,17 @@ def fused_resampled_rx(
         raise ValueError("delay must cover the matched filter span")
     cs = _pick_chunk(sps, down, chunk_sym)
     s_in = cs * sps * up // down
-    # y2 window: modem rows [M0*sps, M0*sps + n2), long enough for the last
-    # decision's lookback, aligned to both sps (decimation view) and down
-    # (stage-2 output grouping)
-    n2 = _roundup(cs * sps + delay, sps * down // math.gcd(sps, down))
-    # channel window: prev halo covers stage-2 lookback; next halo sized so
-    # the stage's highest slice (group units, hence the roundups) stays
-    # inside the stitched window
+    # channel window: prev halo covers the composite stage's lookback; next
+    # halo sized so its highest slice (group units) stays in the window
     pb = _pick_window(s_in, kp2 - 1, 1, 0)
-    need_next = (up * (-(-(pb + up - 1) // up) + n2 // down)
-                 - pb - s_in)
-    nb = _pick_window(s_in, max(need_next, 1), up, pb + s_in)
+    P, S_g, wts = _composite_rx_weights(
+        tuple(float(v) for v in taps), tuple(float(v) for v in h2),
+        sps, up, down, delay, pb)
+    if cs % P:
+        raise ValueError(f"chunk {cs} must divide by the output period {P}")
+    q_max = max(max(rows) for rows in wts.values() if rows)
+    need_next = (q_max + cs // P) * S_g - pb - s_in
+    nb = _pick_window(s_in, max(need_next, 1), S_g, pb + s_in)
     if interpret is None:
         interpret = _auto_interpret()
 
@@ -429,7 +466,11 @@ def fused_resampled_rx(
     out = _resampled_rx_tmajor(
         prepped[0], prepped[1], mparams,
         tuple(float(v) for v in h2), tuple(float(v) for v in taps),
-        sps, span, up, down, cs, delay, pb, nb, n2, k_pad, interpret,
+        sps, span, up, down, cs, delay, pb, nb, k_pad, interpret, soft,
     )
+    if soft:
+        return tuple(
+            o[:n_symbols, :c].T.reshape(batch_shape + (n_symbols,))
+            for o in out)
     return (out[:n_symbols, :c].T.reshape(batch_shape + (n_symbols,))
             .astype(jnp.int32))

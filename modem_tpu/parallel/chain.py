@@ -39,9 +39,9 @@ class ShardedPulseChain:
     "time")``. Channel axis 0 of ``bits [C, n_bits]`` is sharded over ``ch``;
     the symbol/sample axis over ``time``.
 
-    Baseband and passband (``carrier_hz``) both supported in the staged path
-    — the per-shard NCO phase is closed-form in the device index. The fused
-    Pallas path is baseband-only.
+    Baseband and passband (``carrier_hz``) both supported in the staged and
+    fused paths — the per-shard NCO phase is closed-form in the device index
+    (no collective).
     """
 
     def __init__(self, chain: PulseShapedChain, mesh: Mesh):
@@ -251,6 +251,87 @@ class ShardedPulseChain:
             mesh=self.mesh, in_specs=(spec, P()), out_specs=spec,
             check_vma=False,
         )
+        return jax.jit(fn)
+
+    # -- fused one-way paths (production TX / RX halves) ---------------------
+
+    def _local_tx_fused(self, bits_l):
+        """Per-device fused TX (`ops/pallas_txrx.fused_tx`) with a ppermute
+        symbol left-halo. Returns ``(wave, ext)`` tuples of rails (one rail
+        at passband): ``wave`` = this shard's Kl*sps final samples; ``ext`` =
+        its locally-computed zero-flush tail, the stream's true flush only
+        on the last device (same convention as the staged ``_local_tx``)."""
+        from ..ops.pallas_txrx import fused_tx
+        from ..utils.bits import pack_bits as _pack
+
+        ch = self.chain
+        span, sps = ch.span, ch.sps
+        syms = _pack(bits_l, ch.scheme.bits_per_symbol)
+        kl = syms.shape[-1]
+        t = jax.lax.axis_index("time")
+        left = jnp.where(t == 0, -1, left_halo(syms, span, "time"))
+        ext_syms = jnp.concatenate([left, syms], axis=-1)
+        lut, qp = ch._txrx_params()
+        pb = {}
+        if ch.carrier_hz is not None:
+            pb = dict(carrier_hz=ch.carrier_hz,
+                      sample_rate=ch.rates.sample_rate,
+                      sym_offset=t * kl - span)
+        wave = fused_tx(ext_syms, lut, np.asarray(ch.rrc), sps, span,
+                        qam_params=qp, **pb)
+        waves = (wave,) if ch.carrier_hz is not None else wave
+        d, n = span * sps, kl * sps
+        return (tuple(w[..., d: d + n] for w in waves),
+                tuple(w[..., d + n:] for w in waves))
+
+    def _local_rx_fused(self, waves, exts, n_sym_l: int):
+        """Per-device fused RX: right sample-halo via ppermute (the last
+        device uses the flush ``ext``), one kernel per shard; decisions
+        exactly match the single-device ``rx_fused``."""
+        from ..ops.pallas_txrx import fused_rx
+        from ..utils.bits import unpack_symbols as _unpack
+
+        ch = self.chain
+        d = ch.span * ch.sps
+        t = jax.lax.axis_index("time")
+        is_last = t == self.t_dev - 1
+        z = tuple(
+            jnp.concatenate(
+                [w, jnp.where(is_last, e, right_halo(w, d, "time"))], axis=-1)
+            for w, e in zip(waves, exts)
+        )
+        lut, qp = ch._txrx_params()
+        pb = {}
+        if ch.carrier_hz is not None:
+            pb = dict(carrier_hz=ch.carrier_hz,
+                      sample_rate=ch.rates.sample_rate,
+                      sym_offset=t * n_sym_l)
+        dec = fused_rx(z[0] if ch.carrier_hz is not None else z, n_sym_l,
+                       lut, np.asarray(ch.rrc), ch.sps, ch.span,
+                       qam_params=qp, **pb)
+        return _unpack(dec, ch.scheme.bits_per_symbol)
+
+    def fused_tx_fn(self):
+        """jit(f(bits [C, K*bps]) -> (wave, ext)): the fused TX kernel on
+        every device. ``wave`` rails are the sharded stream waveform;
+        ``ext`` rails are per-shard flush tails (see ``_local_tx_fused``)."""
+        spec = P("ch", "time")
+        fn = jax.shard_map(self._local_tx_fused, mesh=self.mesh,
+                           in_specs=(spec,), out_specs=spec, check_vma=False)
+        return jax.jit(fn)
+
+    def fused_rx_fn(self):
+        """jit(f(wave, ext) -> decided bits) through the fused RX kernel;
+        composes with :meth:`fused_tx_fn` to the exact single-device
+        decisions (tested)."""
+        spec = P("ch", "time")
+
+        def step(waves, exts):
+            n_sym_l = waves[0].shape[-1] // self.chain.sps
+            return self._local_rx_fused(waves, exts, n_sym_l)
+
+        fn = jax.shard_map(step, mesh=self.mesh, in_specs=(spec, spec),
+                           out_specs=spec, check_vma=False)
         return jax.jit(fn)
 
     def fused_ber_fn(self, snr_db: float):

@@ -158,6 +158,53 @@ class ResampledChain:
         return lut_llr(di, dq, self.lut, self.scheme.bits_per_symbol,
                        noise_var)
 
+    # ---- fused paths (ops/pallas_resampled.py) ----
+
+    def tx_fused(self, bits: jnp.ndarray):
+        """bits -> channel-rate I/Q through the fused TX kernel (pulse
+        shaping + stage-1 resampler in VMEM): matches :meth:`tx` to f32
+        reassociation."""
+        from .ops.pallas_resampled import fused_resampled_tx
+
+        syms = self.map_symbols(bits)
+        return fused_resampled_tx(
+            syms, self.lut, np.asarray(self.rrc), self.sps, self.span,
+            self.up, self.down, self.taps1,
+            self._padded_len(syms.shape[-1]),
+        )
+
+    def rx_fused(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        """channel-rate I/Q -> decided bits through the fused RX kernel
+        (stage-2 resampler + matched filter + delay-compensated slicing in
+        VMEM): decisions equal :meth:`rx` (tested)."""
+        from .ops.pallas_resampled import fused_resampled_rx
+
+        syms = fused_resampled_rx(
+            rx_wave, n_symbols, self.lut, np.asarray(self.rrc), self.sps,
+            self.span, self.up, self.down, self.taps2, self.delay,
+        )
+        return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def rx_soft_fused(self, rx_wave, n_symbols: int,
+                      noise_var: float = 1.0) -> jnp.ndarray:
+        """channel-rate I/Q -> per-bit LLRs: fused decision-point I/Q
+        (``soft=True`` composite kernel), then the symbol-rate LLR layer."""
+        from .ops.llr import lut_llr
+        from .ops.pallas_resampled import fused_resampled_rx
+
+        di, dq = fused_resampled_rx(
+            rx_wave, n_symbols, self.lut, np.asarray(self.rrc), self.sps,
+            self.span, self.up, self.down, self.taps2, self.delay, soft=True,
+        )
+        return lut_llr(di, dq, self.lut, self.scheme.bits_per_symbol,
+                       noise_var)
+
+    def roundtrip_fused(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """Noiseless bits -> bits via the two fused kernels with the
+        channel-rate waveform as the only HBM intermediate."""
+        k = bits.shape[-1] // self.scheme.bits_per_symbol
+        return self.rx_fused(self.tx_fused(bits), k)
+
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         """Noiseless bits -> bits (exact for sane configs)."""
         k = bits.shape[-1] // self.scheme.bits_per_symbol

@@ -127,3 +127,46 @@ class Demodulator:
             lpq=lpq,
         )
         return (2.0 * yi, 2.0 * yq), new_state
+
+    def demodulate_fused(
+        self, x: jnp.ndarray, state: RxState, x_tail: jnp.ndarray | None = None
+    ):
+        """Steady-state product detection as one Pallas kernel
+        (:func:`modem_tpu.ops.pallas_demod.fused_product_detect`): the
+        reference's RX hot loop (`demodulator.rs:44-56`) — exact integer NCO
+        + acquired phase, mix, both lowpass rails — in a single VMEM pass.
+
+        ``x_tail`` is the previous block's last ``len(lowpass)-1`` passband
+        samples (``None`` = zero FIR history, the stream start). Returns
+        ``((i, q), new_state, new_x_tail)``; outputs equal
+        :meth:`demodulate` to f32 rounding, and ``new_state`` keeps the
+        staged path's mixed-input FIR tails up to date so the two
+        implementations can be mixed mid-stream.
+        """
+        from .ops.pallas_demod import fused_product_detect
+
+        lb = self.lowpass.shape[0] - 1
+        n = x.shape[-1]
+        if x_tail is None:
+            x_tail = jnp.zeros(x.shape[:-1] + (lb,), jnp.float32)
+        xt = jnp.concatenate([x_tail, x], axis=-1)
+        base = (state.s_mod_sr - lb) % self.sample_rate
+        yi, yq = fused_product_detect(
+            xt, self.carrier_hz, self.sample_rate, self.lowpass,
+            phase_offset=state.phase_offset, s_mod_sr=base,
+        )
+        # staged-path interop: the lowpass tails are the last lb *mixed*
+        # samples — recompute them from the passband tail (cheap, symbol-free)
+        theta = carrier_phase(
+            self.carrier_hz, self.sample_rate, lb,
+            (state.s_mod_sr + (n - lb)) % self.sample_rate,
+        )
+        mi, mq = mix_down(xt[..., -lb:], theta + state.phase_offset[..., None])
+        new_state = RxState(
+            s_mod_sr=(state.s_mod_sr + n % self.sample_rate) % self.sample_rate,
+            phase_offset=state.phase_offset,
+            hilbert=state.hilbert,
+            lpi=mi,
+            lpq=mq,
+        )
+        return (yi[..., lb:], yq[..., lb:]), new_state, xt[..., -lb:]

@@ -110,3 +110,53 @@ def test_soft_llr_signs_match_hard():
     np.testing.assert_array_equal(
         np.asarray((llrs < 0).astype(jnp.int32)), np.asarray(hard)
     )
+
+
+# ---- fused kernels (ops/pallas_resampled.py) ----
+
+@pytest.mark.parametrize("up,down", [(3, 2), (2, 3), (5, 4), (1, 1)])
+def test_fused_tx_matches_staged(up, down):
+    chain = ResampledChain(QAM(4, 0.0, 1.0), RATES, up, down)
+    rng = np.random.default_rng(10)
+    bits = jnp.asarray(rng.integers(0, 2, (2, 200 * 4)).astype(np.int32))
+    ci, cq = chain.tx(bits)
+    fi, fq = chain.tx_fused(bits)
+    assert fi.shape == ci.shape
+    np.testing.assert_allclose(fi, ci, atol=1e-6)
+    np.testing.assert_allclose(fq, cq, atol=1e-6)
+
+
+@pytest.mark.parametrize("up,down", [(3, 2), (2, 3)])
+def test_fused_rx_matches_staged(up, down):
+    chain = ResampledChain(QAM(4, 0.0, 1.0), RATES, up, down)
+    rng = np.random.default_rng(11)
+    bits = jnp.asarray(rng.integers(0, 2, (2, 200 * 4)).astype(np.int32))
+    wave = chain.tx(bits)
+    assert jnp.array_equal(chain.rx_fused(wave, 200), chain.rx(wave, 200))
+
+
+@pytest.mark.parametrize("up,down", [(3, 2), (2, 3), (5, 4)])
+def test_fused_roundtrip_exact(up, down):
+    chain = ResampledChain(QAM(4, 0.0, 1.0), RATES, up, down)
+    rng = np.random.default_rng(12)
+    bits = jnp.asarray(rng.integers(0, 2, (3, 300 * 4)).astype(np.int32))
+    assert jnp.array_equal(chain.roundtrip_fused(bits), bits)
+
+
+def test_fused_64qam():
+    chain = ResampledChain(QAM(6, 0.0, 1.0), RATES, 3, 2)
+    rng = np.random.default_rng(13)
+    bits = jnp.asarray(rng.integers(0, 2, (2, 250 * 6)).astype(np.int32))
+    assert jnp.array_equal(chain.roundtrip_fused(bits), bits)
+
+
+def test_fused_soft_matches_staged():
+    chain = ResampledChain(QAM(4, 0.0, 1.0), RATES, 3, 2)
+    rng = np.random.default_rng(14)
+    bits = jnp.asarray(rng.integers(0, 2, (2, 200 * 4)).astype(np.int32))
+    wave = chain.tx(bits)
+    llr_f = chain.rx_soft_fused(wave, 200, noise_var=0.5)
+    llr_s = chain.rx_soft(wave, 200, noise_var=0.5)
+    np.testing.assert_allclose(llr_f, llr_s, atol=1e-4)
+    assert jnp.array_equal((llr_f < 0).astype(jnp.int32),
+                           chain.rx(wave, 200))

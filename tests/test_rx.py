@@ -115,3 +115,66 @@ def test_demodulator_backends_agree(backend):
     (i1, q1), _ = other.demodulate(xj[LOCK_SAMPLES:], s1)
     np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-4)
+
+
+# ---- fused product detector (ops/pallas_demod.py) ----
+
+class TestFusedDemod:
+    def _setup(self):
+        import dataclasses
+
+        dem = Demodulator(carrier_hz=2000, sample_rate=10000)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 4000)).astype(np.float32))
+        st = dem.init_state((2,))
+        st = dataclasses.replace(
+            st, phase_offset=jnp.asarray([0.5, -0.9], jnp.float32))
+        return dem, x, st
+
+    def test_matches_staged(self):
+        dem, x, st = self._setup()
+        (i_s, q_s), st_s = dem.demodulate(x, st)
+        (i_f, q_f), st_f, _ = dem.demodulate_fused(x, st)
+        np.testing.assert_allclose(i_f, i_s, atol=1e-5)
+        np.testing.assert_allclose(q_f, q_s, atol=1e-5)
+        # state interop: identical counter and (recomputed) FIR tails
+        assert int(st_f.s_mod_sr) == int(st_s.s_mod_sr)
+        np.testing.assert_allclose(st_f.lpi, st_s.lpi, atol=1e-6)
+
+    def test_streaming_matches_one_shot(self):
+        dem, x, st0 = self._setup()
+        (i_one, q_one), _, _ = dem.demodulate_fused(x, st0)
+        st, tail = st0, None
+        outs = []
+        for s, e in [(0, 1000), (1000, 1700), (1700, 4000)]:
+            (ii, _), st, tail = dem.demodulate_fused(x[..., s:e], st, tail)
+            outs.append(np.asarray(ii))
+        np.testing.assert_array_equal(
+            np.concatenate(outs, -1), np.asarray(i_one))
+
+    def test_mixed_staged_fused_stream(self):
+        dem, x, st0 = self._setup()
+        (i_s, _), _ = dem.demodulate(x, st0)
+        (i1, _), st, _ = dem.demodulate_fused(x[..., :2000], st0)
+        (i2, _), _ = dem.demodulate(x[..., 2000:], st)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(i1), np.asarray(i2)], -1),
+            np.asarray(i_s), atol=1e-5)
+
+    def test_locked_pipeline_parity(self):
+        """lock_phase (staged) + fused steady state reproduces the golden
+        RX product on a real modulated waveform."""
+        from modem_tpu import Modulator, Rates, make_scheme
+
+        rates = Rates(1250, 10000)
+        mod = Modulator(make_scheme("qpsk", rates), rates, carrier_hz=2000)
+        rng = np.random.default_rng(8)
+        bits = jnp.asarray(rng.integers(0, 2, (1, 2 * 400)).astype(np.int32))
+        wave, _ = mod.passband(bits, mod.init_state((1,)))
+        dem = Demodulator(carrier_hz=2000, sample_rate=10000)
+        st = dem.init_state((1,))
+        st = dem.lock_phase(wave[..., :64], st)
+        (i_s, q_s), _ = dem.demodulate(wave[..., 64:], st)
+        (i_f, q_f), _, _ = dem.demodulate_fused(wave[..., 64:], st)
+        np.testing.assert_allclose(i_f, i_s, atol=1e-5)
+        np.testing.assert_allclose(q_f, q_s, atol=1e-5)
