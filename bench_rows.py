@@ -102,7 +102,8 @@ if __name__ == "__main__":
     for name, bps, fn in rows():
         if only and only not in name:
             continue
-        # the resampled chain is staged XLA (big intermediate waveforms);
-        # smaller blocks keep memory sane
-        n_sym = 1024 if "resampled" in name else N_SYMBOLS
+        # the staged resampled chain materializes big intermediate
+        # waveforms; smaller blocks keep its memory sane (the fused row
+        # runs full-size)
+        n_sym = 1024 if "staged resampled" in name else N_SYMBOLS
         bench(name, bps, fn, n_sym)

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--sample-rate", type=int, default=10000)
     p.add_argument("-c", "--carrier", type=int, default=900)
     p.add_argument("--block-samples", type=int, default=BLOCK_SAMPLES)
+    p.add_argument(
+        "--fused", action="store_true",
+        help="run the product detector as the fused Pallas kernel "
+             "(modem_tpu.ops.pallas_demod) — the TPU fast path; outputs "
+             "match the staged detector to f32 rounding")
     return p
 
 
@@ -50,6 +55,7 @@ def run(args, stdin, stdout) -> None:
     carry = b""
     lock_buf = np.empty(0, np.float32)
     locked = False
+    x_tail = None  # fused path's carried passband tail
     while True:
         raw = stdin.read(CHUNK_BYTES)
         if not raw:
@@ -71,7 +77,11 @@ def run(args, stdin, stdout) -> None:
             lock_buf = np.empty(0, np.float32)
         for start in range(0, x.size, args.block_samples):
             chunk = jnp.asarray(x[start: start + args.block_samples])
-            (i, q), state = demod.demodulate(chunk, state)
+            if getattr(args, "fused", False):
+                (i, q), state, x_tail = demod.demodulate_fused(
+                    chunk, state, x_tail)
+            else:
+                (i, q), state = demod.demodulate(chunk, state)
             stdout.write(mio.format_iq_text(np.asarray(i), np.asarray(q)))
     if not locked:
         raise SystemExit(f"need at least {LOCK_SAMPLES} samples to lock")

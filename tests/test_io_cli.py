@@ -203,3 +203,24 @@ class TestStreamingClis:
         args = cli_demod.build_parser().parse_args(["-r", "10000"])
         with pytest.raises(SystemExit):
             cli_demod.run(args, b"\x00\x00" * 10, _stdio.BytesIO())
+
+
+def test_demodulate_fused_flag_matches_staged():
+    """--fused runs the Pallas product detector; i/q text agrees with the
+    staged path to print precision on a chunked stream."""
+    import io as _stdio
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(-2000, 2000, 4000).astype("<i2").tobytes()
+    base = ["-r", "10000", "-c", "900", "--block-samples", "512"]
+    staged = _stdio.BytesIO()
+    cli_demod.run(cli_demod.build_parser().parse_args(base), data, staged)
+    fused = _stdio.BytesIO()
+    cli_demod.run(cli_demod.build_parser().parse_args(base + ["--fused"]),
+                  data, fused)
+    a = np.array([float(v.split(b":")[1]) for line in
+                  staged.getvalue().splitlines() for v in line.split(b"\t")])
+    b = np.array([float(v.split(b":")[1]) for line in
+                  fused.getvalue().splitlines() for v in line.split(b"\t")])
+    assert a.size == b.size > 0
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=2e-4)
