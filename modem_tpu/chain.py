@@ -366,25 +366,14 @@ class DifferentialChain:
         k = bits.shape[-1] // self.scheme.bits_per_symbol
         return self.rx(self.tx(bits), k)
 
-    def roundtrip_fused(self, bits: jnp.ndarray,
-                        snr_db: float | None = None,
-                        seed=None) -> jnp.ndarray:
-        """bits -> bits through the fused Pallas chain kernel.
+    # ---- fused paths (accumulated-constellation representation) ----
 
-        DMPSK's accumulated phase is ``phi_k = phi0 + shift * sum_{j<=k}
-        sym_j`` (`dmpsk.rs:29-41`), i.e. a point of the M'-PSK constellation
-        rotated by ``phi0`` with index ``a_k = (sum sym) mod M'``
-        (M' = 1/shift_turns). The fused LUT kernel therefore runs on the
-        *accumulated* symbol stream against that rotated constellation, and
-        the differential decode ``sym_k = (a_k - a_{k-1}) mod M'`` happens at
-        symbol rate outside the kernel. Decisions are absolute-then-
-        difference (identical to :meth:`rx` at high SNR; both exact
-        noiseless). ``snr_db`` = Es/N0 at the decision point, noise drawn
-        in-kernel."""
+    def _acc_constellation(self):
+        """DMPSK's accumulated phase ``phi_k = phi0 + shift * sum sym_j``
+        (`dmpsk.rs:29-41`) is a rotated M'-PSK constellation indexed by the
+        modular prefix sum — the representation every fused path runs on.
+        Returns ``(M', lut)``."""
         import math as _math
-
-        from .ops.pallas_chain import fused_pulse_chain
-        from .utils.scan import cummod
 
         sch = self.scheme
         inv = 1.0 / sch.shift_turns
@@ -393,16 +382,82 @@ class DifferentialChain:
             raise NotImplementedError(
                 "fused DMPSK needs shift = 2*pi / 2^bits_per_symbol"
             )
-        bps = sch.bits_per_symbol
-        syms = pack_bits(bits, bps)
-        acc = cummod(syms.astype(jnp.int32), m_ph)
-        ang = 2.0 * _math.pi * (sch.phase0_turns
-                                + np.arange(m_ph) / m_ph)
+        ang = 2.0 * _math.pi * (sch.phase0_turns + np.arange(m_ph) / m_ph)
         lut = np.stack([sch.amplitude * np.cos(ang),
                         sch.amplitude * np.sin(ang)], axis=-1)
+        return m_ph, lut.astype(np.float32)
+
+    def _acc_symbols(self, bits: jnp.ndarray, m_ph: int) -> jnp.ndarray:
+        from .utils.scan import cummod
+
+        syms = pack_bits(bits, self.scheme.bits_per_symbol)
+        return cummod(syms.astype(jnp.int32), m_ph)
+
+    def tx_fused(self, bits: jnp.ndarray):
+        """bits -> baseband I/Q via the fused TX kernel on the accumulated
+        constellation: matches :meth:`tx` to f32 reassociation (same
+        per-symbol phases, pulse shaping in VMEM, one HBM write)."""
+        from .ops.pallas_txrx import fused_tx
+
+        m_ph, lut = self._acc_constellation()
+        acc = self._acc_symbols(bits, m_ph)
+        return fused_tx(acc, lut, np.asarray(self.rrc), self.sps, self.span)
+
+    def rx_fused(self, rx_wave, n_symbols: int) -> jnp.ndarray:
+        """waveform -> decided bits: fused matched filter + min-distance
+        slice against the accumulated constellation (one waveform read),
+        then the symbol-rate differential decode ``sym = (a_k - a_{k-1})
+        mod M'``. Noiseless decisions equal :meth:`rx` exactly."""
+        from .ops.pallas_txrx import fused_rx
+
+        m_ph, lut = self._acc_constellation()
+        dec_abs = fused_rx(rx_wave, n_symbols, lut, np.asarray(self.rrc),
+                           self.sps, self.span)
+        prev = jnp.concatenate(
+            [jnp.zeros_like(dec_abs[..., :1]), dec_abs[..., :-1]], axis=-1
+        )
+        dec = (dec_abs - prev) % m_ph
+        return unpack_symbols(dec, self.scheme.bits_per_symbol)
+
+    def rx_soft_fused(self, rx_wave, n_symbols: int,
+                      noise_var: float = 1.0) -> jnp.ndarray:
+        """waveform -> per-bit LLRs: fused decision-point I/Q, then the
+        differential-phase LLR layer (as :meth:`rx_soft`)."""
+        import math as _math
+
+        from .ops.llr import dmpsk_llr
+        from .ops.pallas_txrx import fused_rx
+        from .ops.slicer import diff_phase
+
+        m_ph, lut = self._acc_constellation()
+        di, dq = fused_rx(rx_wave, n_symbols, lut, np.asarray(self.rrc),
+                          self.sps, self.span, soft=True)
+        p0 = self.scheme.phase0_turns * 2.0 * _math.pi
+        prev = jnp.broadcast_to(
+            jnp.asarray([_math.cos(p0), _math.sin(p0)], jnp.float32),
+            di.shape[:-1] + (2,),
+        )
+        dphi = diff_phase(di, dq, prev)
+        shift = self.scheme.shift_turns * 2.0 * _math.pi
+        return dmpsk_llr(dphi, shift, self.scheme.bits_per_symbol, noise_var)
+
+    def roundtrip_fused(self, bits: jnp.ndarray,
+                        snr_db: float | None = None,
+                        seed=None) -> jnp.ndarray:
+        """bits -> bits through the fused Pallas chain kernel on the
+        accumulated constellation (see :meth:`_acc_constellation`); the
+        differential decode happens at symbol rate outside the kernel.
+        Decisions are absolute-then-difference (identical to :meth:`rx` at
+        high SNR; both exact noiseless). ``snr_db`` = Es/N0 at the decision
+        point, noise drawn in-kernel."""
+        from .ops.pallas_chain import fused_pulse_chain
+
+        m_ph, lut = self._acc_constellation()
+        bps = self.scheme.bits_per_symbol
+        acc = self._acc_symbols(bits, m_ph)
         dec_abs = fused_pulse_chain(
-            acc, lut.astype(np.float32), np.asarray(self.rrc), self.sps,
-            self.span, snr_db=snr_db, seed=seed,
+            acc, lut, np.asarray(self.rrc), self.sps, self.span,
+            snr_db=snr_db, seed=seed,
         )
         prev = jnp.concatenate(
             [jnp.zeros_like(dec_abs[..., :1]), dec_abs[..., :-1]], axis=-1
@@ -462,6 +517,58 @@ class FskChain:
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         i, q = self.tx(bits)
         return self.rx(i, q)
+
+    # ---- fused one-way paths ----
+
+    def _phase_program(self, bits: jnp.ndarray):
+        from .models.base import PhaseProgram
+
+        syms = pack_bits(bits, self.scheme.bits_per_symbol)
+        prog, _ = self.scheme.program(
+            syms, self.scheme.init_state(syms.shape[:-1]), self.rates, 0
+        )
+        if not isinstance(prog, PhaseProgram) or prog.slots_per_symbol != 1:
+            raise TypeError("fused FSK supports slots_per_symbol == 1 schemes")
+        return prog
+
+    def tx_fused(self, bits: jnp.ndarray):
+        """bits -> baseband I/Q via the fused synthesis kernel
+        (:func:`modem_tpu.ops.pallas_fsk.fused_fsk_tx`): the scheme's
+        symbol-rate integer phase program expands to the waveform in VMEM,
+        one HBM write. Matches :meth:`tx` to f32 trig rounding."""
+        from .ops.pallas_fsk import fused_fsk_tx
+
+        prog = self._phase_program(bits)
+        return fused_fsk_tx(
+            prog.fnum, prog.pnum, prog.den, self.rates.samples_per_symbol,
+            float(self.scheme.amplitude), float(prog.qshift),
+        )
+
+    def rx_fused(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        """waveform -> decided bits via the fused discriminator kernel:
+        per-symbol mean instantaneous frequency in VMEM (one waveform read),
+        nearest-frequency decisions at symbol rate. Decisions equal
+        :meth:`rx` away from coefficient midpoints (the two paths differ
+        only by the kernel's ~1e-5 rad polynomial atan2)."""
+        from .ops.pallas_fsk import fused_discriminator_means
+        from .ops.slicer import fsk_slice_means
+
+        mean_f = fused_discriminator_means(
+            i, q, self.rates.samples_per_symbol, self.guard)
+        syms = fsk_slice_means(mean_f, self.coefs, self.dev)
+        return unpack_symbols(syms, self.scheme.bits_per_symbol)
+
+    def rx_soft_fused(self, i: jnp.ndarray, q: jnp.ndarray,
+                      noise_var: float = 1.0) -> jnp.ndarray:
+        """waveform -> per-bit LLRs: fused discriminator means, then the
+        symbol-rate discriminator-domain LLR layer (as :meth:`rx_soft`)."""
+        from .ops.llr import fsk_llr
+        from .ops.pallas_fsk import fused_discriminator_means
+
+        mean_f = fused_discriminator_means(
+            i, q, self.rates.samples_per_symbol, self.guard)
+        return fsk_llr(mean_f, self.coefs, self.dev,
+                       self.scheme.bits_per_symbol, noise_var)
 
     def roundtrip_fused(self, bits: jnp.ndarray,
                         snr_db: float | None = None, seed=None) -> jnp.ndarray:
@@ -548,6 +655,37 @@ class MskChain:
 
     def roundtrip(self, bits: jnp.ndarray) -> jnp.ndarray:
         return self.rx(*self.tx(bits))
+
+    # ---- fused one-way paths ----
+
+    def _slot_signs(self, bits: jnp.ndarray):
+        from .models.base import stagger_bit_planes
+
+        b = bits.reshape(bits.shape[:-1] + (bits.shape[-1] // 2, 2))
+        b0, b1 = b[..., 0], b[..., 1]
+        prev = jnp.zeros(bits.shape[:-1], jnp.int32)
+        b0s, b1s, _ = stagger_bit_planes(b0, b1, prev)
+        return 2 * b0s.astype(jnp.int32) - 1, 2 * b1s.astype(jnp.int32) - 1
+
+    def tx_fused(self, bits: jnp.ndarray):
+        """bits -> baseband I/Q via the fused MSK synthesis kernel
+        (:func:`modem_tpu.ops.pallas_fsk.fused_msk_tx`): staggered slot
+        signs expand to the half-sine waveform in VMEM, one HBM write.
+        Matches :meth:`tx` to f32 trig rounding."""
+        from .ops.pallas_fsk import fused_msk_tx
+
+        s0, s1 = self._slot_signs(bits)
+        return fused_msk_tx(s0, s1, self.spb, float(self.scheme.amplitude))
+
+    def rx_fused(self, i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        """waveform -> decided bits: fused per-slot discriminator means (one
+        waveform read), then the telescoping slot-product prefix decode at
+        slot rate. Decisions equal :meth:`rx`."""
+        from .ops.pallas_fsk import fused_discriminator_means
+
+        mean_f = fused_discriminator_means(i, q, self.spb, self.guard)
+        c_neg = (mean_f < 0).astype(jnp.int32)
+        return self._decode_cneg(c_neg)
 
     def roundtrip_fused(self, bits: jnp.ndarray,
                         snr_db: float | None = None,

@@ -453,3 +453,244 @@ def fused_msk_slots(
         REF_TIME_OFFSET, guard, chunk_slots, interpret, sigma,
     )
     return out[:k, :c].T.reshape(batch_shape + (k,))
+
+
+# -- one-way kernels: synthesis-only TX / discriminator-only RX ---------------
+
+def _fsk_tx_kernel(fcurr_ref, pcurr_ref, oi_ref, oq_ref, *,
+                   den, sps, amp, qshift, time_offset, cs):
+    """Synthesis half of :func:`_fsk_kernel`: integer phase program ->
+    baseband I/Q waveform rows (no halo — the program is per-symbol)."""
+    t = pl.program_id(1)
+    fnum = fcurr_ref[:, :]
+    pnum = pcurr_ref[:, :]
+    c_lane = fnum.shape[1]
+    full = cs * sps
+    rows = jax.lax.broadcasted_iota(jnp.int32, (full, c_lane), 0)
+    g = t * full + rows + time_offset
+    tmod = g % den
+    f_s = jnp.broadcast_to(fnum[:, None, :], (cs, sps, c_lane)
+                           ).reshape(full, c_lane)
+    p_s = jnp.broadcast_to(pnum[:, None, :], (cs, sps, c_lane)
+                           ).reshape(full, c_lane)
+    u = (f_s * tmod + p_s) % den
+    theta = u.astype(jnp.float32) * jnp.float32(TWO_PI / den)
+    oi_ref[:, :] = jnp.float32(amp) * jnp.cos(theta)
+    oq_ref[:, :] = jnp.float32(amp) * jnp.cos(theta + jnp.float32(qshift))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("den", "sps", "amp", "qshift", "time_offset", "cs",
+                     "interpret"),
+)
+def _fsk_tx_tmajor(fnum, pnum, den, sps, amp, qshift, time_offset, cs,
+                   interpret):
+    k_pad, c = fnum.shape
+    grid = (c // LANE, k_pad // cs)
+    curr = pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((cs * sps, LANE), lambda ci, t: (t, ci),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _fsk_tx_kernel, den=den, sps=sps, amp=amp, qshift=qshift,
+            time_offset=time_offset, cs=cs,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((k_pad * sps, c), jnp.float32)] * 2,
+        grid=grid,
+        in_specs=[curr, curr],
+        out_specs=[out_spec] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(fnum, pnum)
+
+
+def fused_fsk_tx(
+    fnum: jnp.ndarray,
+    pnum: jnp.ndarray,
+    den: int,
+    sps: int,
+    amp: float,
+    qshift: float,
+    chunk_sym: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+):
+    """Integer phase program ``[..., K]`` -> baseband ``(i, q)``
+    ``[..., K*sps]`` — the synthesis half of the fused FSK chain, written
+    once to HBM (the `Modulator.baseband` output, `modulator.rs:85-100`,
+    at the write roofline). Covers every ``PhaseProgram`` scheme (BFSK,
+    MFSK, CPFSK; MSK uses :func:`fused_msk_tx`)."""
+    from ..tx import REF_TIME_OFFSET
+
+    if interpret is None:
+        interpret = _auto_interpret()
+    batch_shape = fnum.shape[:-1]
+    k = fnum.shape[-1]
+    fl = fnum.reshape((-1, k))
+    plo = pnum.reshape((-1, k))
+    c = fl.shape[0]
+    k_pad = (-k) % chunk_sym
+    c_pad = (-c) % LANE
+    fpad = jnp.pad(fl.T.astype(jnp.int32), ((0, k_pad), (0, c_pad)))
+    ppad = jnp.pad(plo.T.astype(jnp.int32), ((0, k_pad), (0, c_pad)))
+    oi, oq = _fsk_tx_tmajor(fpad, ppad, den, sps, float(amp), float(qshift),
+                            REF_TIME_OFFSET, chunk_sym, interpret)
+    n = k * sps
+    return (oi[:n, :c].T.reshape(batch_shape + (n,)),
+            oq[:n, :c].T.reshape(batch_shape + (n,)))
+
+
+def _disc_mean_kernel(icurr_ref, qcurr_ref, o_ref, *, group, guard, cs):
+    """Discriminator half: I/Q waveform rows -> per-group interior mean of
+    the instantaneous frequency. With ``guard >= 1`` every used increment
+    lies inside its group, so tiles need no sample halo at all."""
+    wi = icurr_ref[:, :]  # [cs*group, C]
+    wq = qcurr_ref[:, :]
+    ip, qp = wi[:-1, :], wq[:-1, :]
+    ci, cq = wi[1:, :], wq[1:, :]
+    dphi = _atan2(cq * ip - ci * qp, ci * ip + cq * qp)
+    d_al = jnp.concatenate(
+        [jnp.zeros((1, dphi.shape[1]), jnp.float32), dphi], axis=0
+    ).reshape(cs, group, dphi.shape[1])
+    acc = jnp.sum(d_al[:, guard:, :], axis=1)
+    o_ref[:, :] = acc * jnp.float32(1.0 / (group - guard))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "guard", "cs", "interpret"),
+)
+def _disc_mean_tmajor(wi, wq, group, guard, cs, interpret):
+    n_pad, c = wi.shape
+    k_pad = n_pad // group
+    grid = (c // LANE, k_pad // cs)
+    curr = pl.BlockSpec((cs * group, LANE), lambda ci, t: (t, ci),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_disc_mean_kernel, group=group, guard=guard, cs=cs),
+        out_shape=jax.ShapeDtypeStruct((k_pad, c), jnp.float32),
+        grid=grid,
+        in_specs=[curr, curr],
+        out_specs=pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(wi, wq)
+
+
+def fused_discriminator_means(
+    i: jnp.ndarray,
+    q: jnp.ndarray,
+    group: int,
+    guard: int = 1,
+    chunk_groups: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Baseband ``(i, q) [..., N]`` -> per-group mean instantaneous
+    frequency ``[..., N//group]`` (rad/sample) — the discriminator half of
+    the FSK/MSK receivers, one waveform read. ``group`` is ``sps`` for the
+    FSK family, the half-symbol slot for MSK. Matches
+    ``fsk_symbol_means(fm_discriminate(i, q), group, guard)`` to the
+    polynomial-atan2 tolerance (~1e-5 rad); hard decisions (nearest
+    frequency / sign) are cheap symbol-rate XLA on top."""
+    if guard < 1:
+        raise ValueError("the discriminator needs guard >= 1")
+    if guard >= group:
+        raise ValueError("guard leaves no interior samples per group")
+    if interpret is None:
+        interpret = _auto_interpret()
+    batch_shape = i.shape[:-1]
+    n = i.shape[-1]
+    if n % group:
+        raise ValueError("waveform length must be a whole number of groups")
+    k = n // group
+    fl_i = i.reshape((-1, n))
+    fl_q = q.reshape((-1, n))
+    c = fl_i.shape[0]
+    k_pad = (-k) % chunk_groups
+    c_pad = (-c) % LANE
+    wi = jnp.pad(fl_i.T.astype(jnp.float32), ((0, k_pad * group), (0, c_pad)))
+    wq = jnp.pad(fl_q.T.astype(jnp.float32), ((0, k_pad * group), (0, c_pad)))
+    out = _disc_mean_tmajor(wi, wq, group, guard, chunk_groups, interpret)
+    return out[:k, :c].T.reshape(batch_shape + (k,))
+
+
+def _msk_tx_kernel(s0curr_ref, s1curr_ref, oi_ref, oq_ref, *,
+                   den, spb, amp, time_offset, cs):
+    """Synthesis half of :func:`_msk_kernel`: per-slot sign planes ->
+    half-sine baseband (`msk.rs:12-35`)."""
+    t = pl.program_id(1)
+    s0 = s0curr_ref[:, :]
+    s1 = s1curr_ref[:, :]
+    c_lane = s0.shape[1]
+    full = cs * spb
+    rows = jax.lax.broadcasted_iota(jnp.int32, (full, c_lane), 0)
+    g = t * full + rows + time_offset
+    u = g % den
+    theta = u.astype(jnp.float32) * jnp.float32(TWO_PI / den)
+    s0_s = jnp.broadcast_to(s0[:, None, :], (cs, spb, c_lane)
+                            ).reshape(full, c_lane).astype(jnp.float32)
+    s1_s = jnp.broadcast_to(s1[:, None, :], (cs, spb, c_lane)
+                            ).reshape(full, c_lane).astype(jnp.float32)
+    oi_ref[:, :] = jnp.float32(amp) * s0_s * jnp.cos(theta)
+    oq_ref[:, :] = -jnp.float32(amp) * s1_s * jnp.sin(theta)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("den", "spb", "amp", "time_offset", "cs", "interpret"),
+)
+def _msk_tx_tmajor(s0, s1, den, spb, amp, time_offset, cs, interpret):
+    k_pad, c = s0.shape
+    grid = (c // LANE, k_pad // cs)
+    curr = pl.BlockSpec((cs, LANE), lambda ci, t: (t, ci),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((cs * spb, LANE), lambda ci, t: (t, ci),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _msk_tx_kernel, den=den, spb=spb, amp=amp,
+            time_offset=time_offset, cs=cs,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((k_pad * spb, c), jnp.float32)] * 2,
+        grid=grid,
+        in_specs=[curr, curr],
+        out_specs=[out_spec] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(s0, s1)
+
+
+def fused_msk_tx(
+    s0: jnp.ndarray,
+    s1: jnp.ndarray,
+    spb: int,
+    amp: float,
+    chunk_slots: int = DEFAULT_CHUNK_SYM,
+    interpret: bool | None = None,
+):
+    """Staggered slot sign planes ``[..., 2K]`` (+-1) -> baseband ``(i, q)``
+    ``[..., 2K*spb]`` — the MSK synthesis half, one HBM write."""
+    from ..tx import REF_TIME_OFFSET
+
+    if interpret is None:
+        interpret = _auto_interpret()
+    den = 4 * spb
+    batch_shape = s0.shape[:-1]
+    k = s0.shape[-1]
+    fl0 = s0.reshape((-1, k))
+    fl1 = s1.reshape((-1, k))
+    c = fl0.shape[0]
+    k_pad = (-k) % chunk_slots
+    c_pad = (-c) % LANE
+    p0 = jnp.pad(fl0.T.astype(jnp.int32), ((0, k_pad), (0, c_pad)))
+    p1 = jnp.pad(fl1.T.astype(jnp.int32), ((0, k_pad), (0, c_pad)))
+    oi, oq = _msk_tx_tmajor(p0, p1, den, spb, float(amp), REF_TIME_OFFSET,
+                            chunk_slots, interpret)
+    n = k * spb
+    return (oi[:n, :c].T.reshape(batch_shape + (n,)),
+            oq[:n, :c].T.reshape(batch_shape + (n,)))

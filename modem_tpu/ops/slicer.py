@@ -118,6 +118,15 @@ def fsk_slice(
     rad/sample, or the phase-increment angle wraps and symbols alias.
     """
     mean_f = fsk_symbol_means(inst_freq, sps, guard)
+    return fsk_slice_means(mean_f, coefs, dev_rad_per_sample)
+
+
+def fsk_slice_means(
+    mean_f: jnp.ndarray, coefs: np.ndarray, dev_rad_per_sample: float
+) -> jnp.ndarray:
+    """Nearest-frequency decisions from the per-symbol mean statistic
+    (``[..., K]`` rad/sample) — the symbol-rate back half of
+    :func:`fsk_slice`, shared with the fused discriminator kernel."""
     targets = jnp.asarray(
         np.asarray(coefs, np.float32) * np.float32(dev_rad_per_sample)
     )

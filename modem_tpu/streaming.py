@@ -83,6 +83,19 @@ class StreamingFusedChain:
         return unpack_symbols(out, self.bps)
 
 
+    # checkpoint/resume (modem_tpu.checkpoint works on any pytree)
+    def get_state(self):
+        """The stream's full carry as a pytree for
+        :func:`modem_tpu.checkpoint.save_state`."""
+        return {"tail": self._tail, "seen": jnp.int32(self._seen)}
+
+    def set_state(self, state) -> None:
+        """Restore a carry produced by :meth:`get_state` (possibly via
+        :func:`modem_tpu.checkpoint.load_state`)."""
+        self._tail = state["tail"]
+        self._seen = int(state["seen"])
+
+
 class StreamingFusedTx:
     """Unbounded bits -> waveform through the fused TX kernel
     (:func:`modem_tpu.ops.pallas_txrx.fused_tx`).
@@ -145,6 +158,15 @@ class StreamingFusedTx:
         self._seen = 0
         self._tail = jnp.full(self.batch_shape + (d,), -1, jnp.int32)
         return out[0] if self.chain.carrier_hz is not None else out
+
+
+    def get_state(self):
+        """Carry pytree (see :meth:`StreamingFusedChain.get_state`)."""
+        return {"tail": self._tail, "seen": jnp.int32(self._seen)}
+
+    def set_state(self, state) -> None:
+        self._tail = state["tail"]
+        self._seen = int(state["seen"])
 
 
 class StreamingFusedRx:
@@ -218,3 +240,12 @@ class StreamingFusedRx:
         self._seen = 0
         self._tail = [jnp.zeros_like(t) for t in self._tail]
         return unpack_symbols(out, self.bps)
+
+    def get_state(self):
+        """Carry pytree (see :meth:`StreamingFusedChain.get_state`);
+        ``tails`` holds one sample tail per rail."""
+        return {"tails": list(self._tail), "seen": jnp.int32(self._seen)}
+
+    def set_state(self, state) -> None:
+        self._tail = list(state["tails"])
+        self._seen = int(state["seen"])

@@ -125,3 +125,102 @@ def test_tx_arg_validation(qpsk_chain):
                  qam_params=qam_mparams(4, 0.0, 1.0))
     with pytest.raises(ValueError, match="taps length"):
         fused_tx(syms, ch.lut, np.ones(7, np.float32), ch.sps, ch.span)
+
+
+# ---- one-way fused paths for the FSK / MSK / DMPSK families ----
+
+class TestFskOneWay:
+    def _chain(self):
+        from modem_tpu import make_scheme
+        from modem_tpu.chain import FskChain
+        from modem_tpu.config import TWO_PI
+
+        scheme = make_scheme("mfsk", RATES)
+        coefs = 2 * np.arange(16)  # IncreaseMap, `modulate.rs:84`
+        return FskChain(scheme, RATES, coefs, TWO_PI * 50 / 10000)
+
+    def test_tx_fused_matches_staged(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(30), 2, 300, 4)
+        si, sq = ch.tx(bits)
+        fi, fq = ch.tx_fused(bits)
+        np.testing.assert_allclose(fi, si, atol=1e-5)
+        np.testing.assert_allclose(fq, sq, atol=1e-5)
+
+    def test_rx_fused_matches_staged(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(31), 2, 300, 4)
+        i, q = ch.tx(bits)
+        assert jnp.array_equal(ch.rx_fused(i, q), ch.rx(i, q))
+
+    def test_fused_pipeline_exact(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(32), 2, 400, 4)
+        assert jnp.array_equal(ch.rx_fused(*ch.tx_fused(bits)), bits)
+
+    def test_soft_signs_match_hard(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(33), 2, 200, 4)
+        i, q = ch.tx_fused(bits)
+        llr = ch.rx_soft_fused(i, q, noise_var=1e-3)
+        staged = ch.rx_soft(i, q, noise_var=1e-3)
+        np.testing.assert_allclose(llr, staged, atol=1e-2)
+        assert jnp.array_equal((llr < 0).astype(jnp.int32), ch.rx_fused(i, q))
+
+
+class TestMskOneWay:
+    def test_tx_fused_matches_staged(self):
+        from modem_tpu.chain import MskChain
+
+        ch = MskChain(RATES)
+        bits = _bits(np.random.default_rng(34), 2, 300, 2)
+        si, sq = ch.tx(bits)
+        fi, fq = ch.tx_fused(bits)
+        np.testing.assert_allclose(fi, si, atol=1e-5)
+        np.testing.assert_allclose(fq, sq, atol=1e-5)
+
+    def test_pipeline_and_staged_rx(self):
+        from modem_tpu.chain import MskChain
+
+        ch = MskChain(RATES)
+        bits = _bits(np.random.default_rng(35), 2, 400, 2)
+        i, q = ch.tx_fused(bits)
+        assert jnp.array_equal(ch.rx_fused(i, q), bits)
+        assert jnp.array_equal(ch.rx_fused(i, q), ch.rx(i, q))
+
+
+class TestDmpskOneWay:
+    def _chain(self):
+        from modem_tpu import make_scheme
+        from modem_tpu.chain import DifferentialChain
+
+        return DifferentialChain(make_scheme("dqpsk", RATES), RATES)
+
+    def test_tx_fused_matches_staged(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(36), 2, 300, 2)
+        si, sq = ch.tx(bits)
+        fi, fq = ch.tx_fused(bits)
+        np.testing.assert_allclose(fi, si, atol=1e-5)
+        np.testing.assert_allclose(fq, sq, atol=1e-5)
+
+    def test_rx_fused_matches_staged(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(37), 2, 300, 2)
+        wave = ch.tx(bits)
+        assert jnp.array_equal(ch.rx_fused(wave, 300), ch.rx(wave, 300))
+
+    def test_fused_pipeline_exact(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(38), 2, 400, 2)
+        assert jnp.array_equal(ch.rx_fused(ch.tx_fused(bits), 400), bits)
+
+    def test_soft_matches_staged(self):
+        ch = self._chain()
+        bits = _bits(np.random.default_rng(39), 2, 200, 2)
+        wave = ch.tx(bits)
+        llr_f = ch.rx_soft_fused(wave, 200, noise_var=0.3)
+        llr_s = ch.rx_soft(wave, 200, noise_var=0.3)
+        np.testing.assert_allclose(llr_f, llr_s, atol=1e-4)
+        assert jnp.array_equal((llr_f < 0).astype(jnp.int32),
+                               ch.rx_fused(wave, 200))
