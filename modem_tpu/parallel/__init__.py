@@ -24,13 +24,14 @@ from .collectives import left_halo, right_halo, exclusive_prefix
 from .fir import fir_with_halo, sharded_fir
 from .chain import ShardedDifferentialChain, ShardedPulseChain
 from .modulator import time_sharded_baseband
+from .resampled import ShardedResampledChain
 from .rx import sharded_demodulate
 from .fsk import time_sharded_fsk_roundtrip_fn
 
 __all__ = [
     "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
     "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
-    "ShardedPulseChain",
+    "ShardedPulseChain", "ShardedResampledChain",
     "time_sharded_baseband", "sharded_demodulate",
     "time_sharded_fsk_roundtrip_fn",
 ]

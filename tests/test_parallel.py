@@ -316,3 +316,47 @@ class TestShardedFusedTxRx:
             for w in (si, sq))
         out = sharded.fused_rx_fn()(wave, ext)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+
+class TestShardedResampled:
+    """Distributed config #4 (`parallel.resampled.ShardedResampledChain`)."""
+
+    def _make(self, mesh, up, down):
+        from modem_tpu.parallel import ShardedResampledChain
+        from modem_tpu.resampled import ResampledChain
+
+        chain = ResampledChain(QAM(4, 0.0, 1.0), RATES, up, down)
+        return chain, ShardedResampledChain(chain, mesh)
+
+    @pytest.mark.parametrize("up,down", [(3, 2), (2, 3)])
+    def test_roundtrip_matches_single_device(self, mesh8, up, down):
+        chain, sharded = self._make(mesh8, up, down)
+        k_local = 24 * sharded.quantum  # per-shard symbols, quantum-aligned
+        k = k_local * mesh8.shape["time"]
+        bits = bits_for(chain.scheme, n_sym=k, channels=4, seed=41)
+        out = sharded.fused_roundtrip_fn()(sharded.shard_bits(bits))
+        single = chain.roundtrip_fused(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_tx_rx_pipeline(self, mesh8):
+        chain, sharded = self._make(mesh8, 3, 2)
+        k = 24 * sharded.quantum * mesh8.shape["time"]
+        bits = bits_for(chain.scheme, n_sym=k, channels=4, seed=42)
+        wave, drain = sharded.fused_tx_fn()(sharded.shard_bits(bits))
+        # the sharded waveform equals the single-device channel waveform
+        ci, cq = chain.tx_fused(bits)
+        n = k * chain.sps * chain.up // chain.down
+        np.testing.assert_allclose(np.asarray(wave[0]),
+                                   np.asarray(ci[..., :n]), atol=1e-5)
+        out = sharded.fused_rx_fn()(wave, drain)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_rejects_misaligned_shards(self, mesh8):
+        chain, sharded = self._make(mesh8, 2, 3)
+        assert sharded.quantum == 3
+        # one extra symbol per shard breaks the 3-symbol pattern quantum
+        bad = (24 * sharded.quantum + 1) * mesh8.shape["time"]
+        bits = bits_for(chain.scheme, n_sym=bad, channels=4, seed=43)
+        with pytest.raises(Exception, match="multiple"):
+            sharded.fused_roundtrip_fn()(sharded.shard_bits(bits))
