@@ -18,12 +18,13 @@ from .chain import (
     PulseShapedChain, qpsk_reference_chain,
 )
 from .streaming import StreamingFusedChain
+from .sync import AcquiringReceiver
 
 __all__ = [
-    "DcqpskChain", "Demodulator", "DifferentialChain", "Freq", "FskChain",
-    "Modulator", "MskChain", "OqpskChain", "PulseShapedChain", "Rates",
-    "RxState", "SCHEME_NAMES", "StreamingFusedChain", "TxState",
-    "make_scheme", "qpsk_reference_chain",
+    "AcquiringReceiver", "DcqpskChain", "Demodulator", "DifferentialChain",
+    "Freq", "FskChain", "Modulator", "MskChain", "OqpskChain",
+    "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
+    "StreamingFusedChain", "TxState", "make_scheme", "qpsk_reference_chain",
 ]
 
 __version__ = "0.1.0"

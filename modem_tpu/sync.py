@@ -1,0 +1,301 @@
+"""Feedforward synchronization: timing, carrier, and frame acquisition.
+
+The reference's entire acquisition apparatus is a one-shot 64-sample PLL run
+against a known preamble tone (`/root/reference/src/modem/demodulator.rs:32-36`,
+`pll.rs:16-22`) — a per-sample feedback loop that assumes perfect symbol
+timing and zero frequency offset. A production receiver must acquire under
+unknown timing, carrier frequency offset (CFO), phase, and gain.
+
+This module is the TPU-native inversion of that design: **feedforward block
+estimators** instead of feedback loops. Every estimator is a reduction over a
+block — no data-dependent control flow, no per-sample recursion — so the
+whole acquisition path jits, vmaps over channels, and shards like any other
+block transform:
+
+* :func:`oerder_meyr_timing` — square-law symbol-timing estimate from the
+  cyclostationarity of ``|x|^2`` (Oerder & Meyr 1988): one FFT-bin projection.
+* :func:`correct_timing` — traced-``mu`` Farrow resampler
+  (:func:`modem_tpu.ops.impairments.farrow_delay`).
+* :func:`mth_power_cfo` / :func:`viterbi_viterbi_phase` — blind carrier
+  recovery for M-PSK by modulation stripping (z = d^M).
+* :func:`frame_sync` — CFO-robust differential preamble correlation over a
+  static lag window.
+* :func:`preamble_cfo_phase_gain` — data-aided joint CFO/phase/gain estimate
+  from the located preamble.
+* :class:`AcquiringReceiver` — the composed burst receiver over a
+  :class:`modem_tpu.chain.PulseShapedChain`: impaired waveform -> timing ->
+  frame -> carrier -> corrected decision points -> bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .config import TWO_PI
+from .ops.impairments import farrow_delay
+
+
+def _angle(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arctan2(im, re)
+
+
+# ---------------------------------------------------------------------------
+# Symbol timing: Oerder & Meyr square-law estimator
+# ---------------------------------------------------------------------------
+
+def oerder_meyr_timing(i: jnp.ndarray, q: jnp.ndarray,
+                       sps: int) -> jnp.ndarray:
+    """Blind symbol-timing offset from ``|x|^2`` cyclostationarity.
+
+    Returns ``t0 [...]`` in samples, in ``[0, sps)``: pulse peaks sit at
+    ``n ~= t0 (mod sps)``. The estimator projects the squared envelope onto
+    the symbol-rate tone, ``S = sum_n |x[n]|^2 exp(-j*2*pi*n/sps)``, and
+    reads the timing phase off ``arg S`` — insensitive to CFO and carrier
+    phase (it never looks at the signal's own phase), which is why timing is
+    acquired *first* in :class:`AcquiringReceiver`. Needs ``sps >= 4`` for a
+    clean spectral line and an RRC-shaped input with beta > 0.
+    """
+    env = i * i + q * q
+    n = jnp.arange(env.shape[-1], dtype=jnp.float32)
+    w = TWO_PI / sps
+    sr = jnp.sum(env * jnp.cos(w * n), axis=-1)
+    si = jnp.sum(env * -jnp.sin(w * n), axis=-1)
+    return (-_angle(sr, si) * (sps / TWO_PI)) % sps
+
+
+def correct_timing(i: jnp.ndarray, q: jnp.ndarray, t0) -> tuple[
+        jnp.ndarray, jnp.ndarray]:
+    """Remove the fractional part of a timing estimate ``t0`` (traced).
+
+    Applies a Farrow delay of ``1 + ((-t0) mod 1)`` samples so pulse peaks
+    land on integer sample indices; the remaining *integer* offset is
+    absorbed by :func:`frame_sync` (which scans integer lags). Broadcasts a
+    scalar or per-channel ``t0 [...]`` against ``[..., N]`` waveforms.
+    """
+    mu = (-jnp.asarray(t0, jnp.float32)) % 1.0
+    mu = mu[..., None] if mu.ndim else mu
+    return farrow_delay(i, mu), farrow_delay(q, mu)
+
+
+# ---------------------------------------------------------------------------
+# Blind carrier recovery for M-PSK (modulation stripping)
+# ---------------------------------------------------------------------------
+
+def _mth_power(di: jnp.ndarray, dq: jnp.ndarray, m: int):
+    """z = (di + j*dq)^m via polar real-plane math (no complex dtype)."""
+    r = (di * di + dq * dq) ** (m / 2.0)
+    th = m * _angle(di, dq)
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def mth_power_cfo(di: jnp.ndarray, dq: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Blind CFO estimate from symbol-rate decision points of an M-PSK
+    constellation. Returns radians/symbol in ``(-pi/m, pi/m]``.
+
+    Raising to the M-th power strips the data phases (all M-PSK points
+    collapse onto one ray); the residual per-symbol rotation is ``M`` times
+    the CFO, read from the averaged one-lag autocorrelation
+    ``sum_k z[k+1] * conj(z[k])``.
+    """
+    zi, zq = _mth_power(di, dq, m)
+    ar = jnp.sum(zi[..., 1:] * zi[..., :-1] + zq[..., 1:] * zq[..., :-1],
+                 axis=-1)
+    ai = jnp.sum(zq[..., 1:] * zi[..., :-1] - zi[..., 1:] * zq[..., :-1],
+                 axis=-1)
+    return _angle(ar, ai) / m
+
+
+def viterbi_viterbi_phase(di: jnp.ndarray, dq: jnp.ndarray,
+                          m: int) -> jnp.ndarray:
+    """Blind carrier-phase estimate for M-PSK (Viterbi & Viterbi): strip the
+    modulation with z = d^M and average. Returns radians in
+    ``(-pi/m, pi/m]`` — the inherent M-fold ambiguity is resolved by a known
+    preamble (:func:`preamble_cfo_phase_gain`) or differential encoding
+    (:class:`modem_tpu.chain.DifferentialChain`)."""
+    zi, zq = _mth_power(di, dq, m)
+    return _angle(jnp.sum(zi, axis=-1), jnp.sum(zq, axis=-1)) / m
+
+
+# ---------------------------------------------------------------------------
+# Frame synchronization: CFO-robust differential preamble correlation
+# ---------------------------------------------------------------------------
+
+def frame_sync(
+    yi: jnp.ndarray,
+    yq: jnp.ndarray,
+    preamble: np.ndarray,
+    sps: int,
+    max_lag: int,
+) -> jnp.ndarray:
+    """Locate a known preamble in a matched-filtered waveform.
+
+    ``preamble [P, 2]`` are the known symbols' I/Q; candidate symbol grids
+    start at sample lags ``t in [0, max_lag)``. Correlating differential
+    products ``y[t+(k+1)sps] * conj(y[t+k*sps])`` against the preamble's own
+    differentials makes the metric invariant to constant phase **and** CFO
+    (a constant offset rotates every product equally), so frame sync needs no
+    prior carrier estimate. Returns the argmax lag ``[...]`` (int32) — the
+    *absolute* sample index of preamble symbol 0's decision instant in ``y``
+    (all group delays — the chain's ``span*sps``, any channel delay, the
+    Farrow shift — are part of the located lag).
+
+    The search is one static gather ``[max_lag, P]`` + a reduction — an
+    acquisition-sized cost paid once per burst, fully parallel over channels.
+    """
+    p = np.asarray(preamble, np.float32)
+    need = max_lag + (p.shape[0] - 1) * sps + 1
+    if yi.shape[-1] < need:
+        raise ValueError(
+            f"frame_sync needs >= {need} samples for max_lag={max_lag}, "
+            f"got {yi.shape[-1]}"
+        )
+    dpi = p[1:, 0] * p[:-1, 0] + p[1:, 1] * p[:-1, 1]
+    dpq = p[1:, 1] * p[:-1, 0] - p[1:, 0] * p[:-1, 1]
+    lags = jnp.arange(max_lag, dtype=jnp.int32)[:, None]
+    ks = jnp.arange(p.shape[0], dtype=jnp.int32)[None, :] * sps
+    idx = lags + ks  # [max_lag, P]
+    wi = yi[..., idx]  # [..., max_lag, P]
+    wq = yq[..., idx]
+    ui = wi[..., 1:] * wi[..., :-1] + wq[..., 1:] * wq[..., :-1]
+    uq = wq[..., 1:] * wi[..., :-1] - wi[..., 1:] * wq[..., :-1]
+    cr = jnp.sum(ui * dpi + uq * dpq, axis=-1)
+    ci = jnp.sum(uq * dpi - ui * dpq, axis=-1)
+    return jnp.argmax(cr * cr + ci * ci, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Data-aided carrier estimation from the located preamble
+# ---------------------------------------------------------------------------
+
+def preamble_cfo_phase_gain(
+    di: jnp.ndarray,
+    dq: jnp.ndarray,
+    preamble: np.ndarray,
+):
+    """Joint CFO/phase/gain from received preamble decision points.
+
+    ``di, dq [..., P]`` are the symbol-rate samples at the located frame
+    start; ``preamble [P, 2]`` the known symbols. With
+    ``p_k = d_k * conj(a_k)`` (data wiped), the CFO is the phase slope of
+    ``p`` (one-lag autocorrelation) and, after derotating it, gain and phase
+    fall out of the matched sum ``sum p~_k / sum |a_k|^2``. Returns
+    ``(cfo_rad_per_symbol, phase_rad, gain)``, each ``[...]``.
+    """
+    a = np.asarray(preamble, np.float32)
+    ai, aq = jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1])
+    pi = di * ai + dq * aq
+    pq = dq * ai - di * aq
+    ar = jnp.sum(pi[..., 1:] * pi[..., :-1] + pq[..., 1:] * pq[..., :-1],
+                 axis=-1)
+    aj = jnp.sum(pq[..., 1:] * pi[..., :-1] - pi[..., 1:] * pq[..., :-1],
+                 axis=-1)
+    cfo = _angle(ar, aj)  # rad/symbol
+    k = jnp.arange(a.shape[0], dtype=jnp.float32)
+    th = cfo[..., None] * k
+    c, s = jnp.cos(th), jnp.sin(th)
+    ri = jnp.sum(pi * c + pq * s, axis=-1)  # p~ = p * exp(-j*cfo*k)
+    rq = jnp.sum(pq * c - pi * s, axis=-1)
+    e = float(np.sum(a[:, 0] ** 2 + a[:, 1] ** 2))
+    phase = _angle(ri, rq)
+    gain = jnp.sqrt(ri * ri + rq * rq) / e
+    return cfo, phase, gain
+
+
+# ---------------------------------------------------------------------------
+# Composed burst receiver
+# ---------------------------------------------------------------------------
+
+class AcquiringReceiver:
+    """Burst receiver with full feedforward acquisition over a
+    :class:`modem_tpu.chain.PulseShapedChain`.
+
+    The transmitted burst is ``preamble_symbols`` followed by the payload,
+    RRC-shaped by the chain's TX. The received waveform may carry an unknown
+    integer+fractional delay (up to ``max_lag`` samples of the integer part
+    after the chain's own group delay), CFO, phase, and gain. ``rx`` runs:
+
+    1. :func:`oerder_meyr_timing` + :func:`correct_timing` (blind, CFO-proof);
+    2. matched filter (the chain's);
+    3. :func:`frame_sync` (differential — CFO-proof);
+    4. :func:`preamble_cfo_phase_gain` on the located preamble;
+    5. derotate/rescale payload decision points, slice to bits.
+
+    Everything is one jittable graph with static shapes; the only
+    data-dependent value is the frame lag, consumed by gathers.
+    """
+
+    def __init__(self, chain, preamble_symbols: np.ndarray, max_lag: int):
+        if chain.carrier_hz is not None:
+            raise NotImplementedError(
+                "AcquiringReceiver operates at complex baseband; downconvert "
+                "passband first (chain.downconvert)"
+            )
+        self.chain = chain
+        self.pre_syms = np.asarray(preamble_symbols, np.int64)
+        self.pre_iq = np.asarray(chain.lut, np.float32)[self.pre_syms]
+        self.max_lag = int(max_lag)
+
+    def tx_burst(self, payload_bits: jnp.ndarray):
+        """Preamble + payload bits -> baseband I/Q via the chain's TX."""
+        from .utils.bits import unpack_symbols
+
+        pre_bits = unpack_symbols(
+            jnp.asarray(self.pre_syms, jnp.int32),
+            self.chain.scheme.bits_per_symbol,
+        )
+        pre_bits = jnp.broadcast_to(
+            pre_bits, payload_bits.shape[:-1] + pre_bits.shape[-1:]
+        )
+        bits = jnp.concatenate([pre_bits, payload_bits], axis=-1)
+        return self.chain.tx(bits)
+
+    def acquire(self, i: jnp.ndarray, q: jnp.ndarray, n_payload: int):
+        """Impaired waveform -> (payload decision points, sync report).
+
+        ``max_lag`` must cover the full lag of preamble symbol 0's decision
+        instant: the chain's ``span*sps`` group delay plus any channel
+        delay. Waveforms shorter than the last candidate decision instant
+        are zero-padded (silence after the burst).
+        """
+        sps = self.chain.sps
+        p = self.pre_iq.shape[0]
+        need = self.max_lag + (p + n_payload - 1) * sps + 1
+        if i.shape[-1] < need:
+            # The receiver listens past the burst end: silence. Zero-pad so
+            # every candidate lag's last decision instant is in range.
+            pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],), i.dtype)
+            i = jnp.concatenate([i, pad], axis=-1)
+            q = jnp.concatenate([q, pad], axis=-1)
+        t0 = oerder_meyr_timing(i, q, sps)
+        ci, cq = correct_timing(i, q, t0)
+        yi, yq = self.chain.matched_filter(ci, cq)
+        lag = frame_sync(yi, yq, self.pre_iq, sps, self.max_lag)
+        ks = jnp.arange(p + n_payload, dtype=jnp.int32) * sps
+        idx = lag[..., None] + ks  # absolute decision instants
+        di = jnp.take_along_axis(yi, idx, axis=-1)
+        dq = jnp.take_along_axis(yq, idx, axis=-1)
+        cfo, phase, gain = preamble_cfo_phase_gain(
+            di[..., :p], dq[..., :p], self.pre_iq
+        )
+        k = jnp.arange(n_payload, dtype=jnp.float32) + p
+        th = cfo[..., None] * k + phase[..., None]
+        c, s = jnp.cos(th), jnp.sin(th)
+        g = jnp.maximum(gain[..., None], 1e-12)
+        pi, pq = di[..., p:], dq[..., p:]
+        ri = (pi * c + pq * s) / g
+        rq = (pq * c - pi * s) / g
+        report = {"timing": t0, "lag": lag, "cfo_rad_per_symbol": cfo,
+                  "phase": phase, "gain": gain}
+        return (ri, rq), report
+
+    def rx(self, i: jnp.ndarray, q: jnp.ndarray,
+           n_payload: int) -> jnp.ndarray:
+        """Impaired waveform -> payload bits ``[..., n_payload*bps]``."""
+        from .ops.slicer import lut_slice
+        from .utils.bits import unpack_symbols
+
+        (ri, rq), _ = self.acquire(i, q, n_payload)
+        syms = lut_slice(ri, rq, self.chain.lut)
+        return unpack_symbols(syms, self.chain.scheme.bits_per_symbol)
