@@ -204,6 +204,73 @@ def preamble_cfo_phase_gain(
 
 
 # ---------------------------------------------------------------------------
+# Decision-directed carrier phase tracking (block rate)
+# ---------------------------------------------------------------------------
+
+def dd_phase_track(
+    di: jnp.ndarray,
+    dq: jnp.ndarray,
+    lut: np.ndarray,
+    block: int = 16,
+):
+    """Track residual carrier phase across a symbol stream, decision-directed.
+
+    A one-shot preamble CFO/phase estimate leaves a residual slope (ISI and
+    noise bias it; see the acquisition tests) that accumulates over long
+    payloads. This tracker corrects it the TPU way: a ``lax.scan`` at
+    **block** rate (not symbol rate — a feedback loop over ``K/block`` steps
+    of fully vectorized work). Per block: derotate by the carried phase,
+    min-distance slice against ``lut``, measure the average rotation of the
+    received points off their decisions, fold it into the carry.
+
+    Returns ``(ci, cq, phases)`` with ``phases [..., n_blocks]`` the absolute
+    correction applied per block. Tolerates residual CFO up to roughly
+    ``pi / (2*M*block)`` rad/symbol (the slice must stay in the right
+    decision cell within one block).
+    """
+    import jax
+
+    from .ops.slicer import lut_slice
+
+    k = di.shape[-1]
+    nb = -(-k // block)
+    pad = nb * block - k
+    if pad:
+        z = jnp.zeros(di.shape[:-1] + (pad,), di.dtype)
+        di = jnp.concatenate([di, z], axis=-1)
+        dq = jnp.concatenate([dq, z], axis=-1)
+    bshape = di.shape[:-1] + (nb, block)
+    bi = jnp.moveaxis(di.reshape(bshape), -2, 0)  # [nb, ..., block]
+    bq = jnp.moveaxis(dq.reshape(bshape), -2, 0)
+    # Keep the LUT as host numpy: the scan body closes over it, and a
+    # device-array closure becomes a tracer inside the body (breaking
+    # lut_slice's host-side tap prep).
+    lut_np = np.asarray(lut, np.float32)
+
+    def step(phi, xs):
+        xi, xq = xs
+        c = jnp.cos(phi)[..., None]
+        s = jnp.sin(phi)[..., None]
+        ri = xi * c + xq * s          # rotate by -phi
+        rq = xq * c - xi * s
+        a = jnp.asarray(lut_np)[lut_slice(ri, rq, lut_np)]  # [..., block, 2]
+        er = jnp.sum(ri * a[..., 0] + rq * a[..., 1], axis=-1)
+        ei = jnp.sum(rq * a[..., 0] - ri * a[..., 1], axis=-1)
+        err = _angle(er, ei)
+        phi_new = phi + err
+        c2, s2 = jnp.cos(err)[..., None], jnp.sin(err)[..., None]
+        yi = ri * c2 + rq * s2
+        yq = rq * c2 - ri * s2
+        return phi_new, (yi, yq, phi_new)
+
+    phi0 = jnp.zeros(di.shape[:-1], jnp.float32)
+    _, (yi, yq, phases) = jax.lax.scan(step, phi0, (bi, bq))
+    yi = jnp.moveaxis(yi, 0, -2).reshape(di.shape)[..., :k]
+    yq = jnp.moveaxis(yq, 0, -2).reshape(dq.shape)[..., :k]
+    return yi, yq, jnp.moveaxis(phases, 0, -1)
+
+
+# ---------------------------------------------------------------------------
 # Composed burst receiver
 # ---------------------------------------------------------------------------
 
@@ -226,7 +293,9 @@ class AcquiringReceiver:
     data-dependent value is the frame lag, consumed by gathers.
     """
 
-    def __init__(self, chain, preamble_symbols: np.ndarray, max_lag: int):
+    def __init__(self, chain, preamble_symbols: np.ndarray, max_lag: int,
+                 eq_taps: int | None = None, eq_ridge: float = 1e-3,
+                 track_block: int | None = None):
         if chain.carrier_hz is not None:
             raise NotImplementedError(
                 "AcquiringReceiver operates at complex baseband; downconvert "
@@ -236,6 +305,17 @@ class AcquiringReceiver:
         self.pre_syms = np.asarray(preamble_symbols, np.int64)
         self.pre_iq = np.asarray(chain.lut, np.float32)[self.pre_syms]
         self.max_lag = int(max_lag)
+        #: optional preamble-trained symbol-spaced LMMSE equalizer
+        #: (:mod:`modem_tpu.ops.equalizer`): corrects multipath ISI the
+        #: matched filter cannot; ``eq_taps`` is the complex FIR length.
+        self.eq_taps = eq_taps
+        self.eq_ridge = eq_ridge
+        if eq_taps is not None and eq_taps > len(self.pre_syms) // 2:
+            raise ValueError("eq_taps should be << preamble length")
+        #: optional decision-directed block phase tracking
+        #: (:func:`dd_phase_track`) over the payload — corrects the residual
+        #: CFO/phase the one-shot preamble estimate leaves behind.
+        self.track_block = track_block
 
     def tx_burst(self, payload_bits: jnp.ndarray):
         """Preamble + payload bits -> baseband I/Q via the chain's TX."""
@@ -261,7 +341,12 @@ class AcquiringReceiver:
         """
         sps = self.chain.sps
         p = self.pre_iq.shape[0]
-        need = self.max_lag + (p + n_payload - 1) * sps + 1
+        # With an equalizer, gather extra trailing decision points so the
+        # last payload symbols' windows see the channel's echo tail instead
+        # of zero padding.
+        extra = 0 if self.eq_taps is None else self.eq_taps
+        n_tot = p + n_payload + extra
+        need = self.max_lag + (n_tot - 1) * sps + 1
         if i.shape[-1] < need:
             # The receiver listens past the burst end: silence. Zero-pad so
             # every candidate lag's last decision instant is in range.
@@ -272,23 +357,37 @@ class AcquiringReceiver:
         ci, cq = correct_timing(i, q, t0)
         yi, yq = self.chain.matched_filter(ci, cq)
         lag = frame_sync(yi, yq, self.pre_iq, sps, self.max_lag)
-        ks = jnp.arange(p + n_payload, dtype=jnp.int32) * sps
+        ks = jnp.arange(n_tot, dtype=jnp.int32) * sps
         idx = lag[..., None] + ks  # absolute decision instants
         di = jnp.take_along_axis(yi, idx, axis=-1)
         dq = jnp.take_along_axis(yq, idx, axis=-1)
         cfo, phase, gain = preamble_cfo_phase_gain(
             di[..., :p], dq[..., :p], self.pre_iq
         )
-        k = jnp.arange(n_payload, dtype=jnp.float32) + p
+        # Derotate/rescale the whole burst (preamble + payload) so the
+        # corrected preamble can train the optional equalizer.
+        k = jnp.arange(n_tot, dtype=jnp.float32)
         th = cfo[..., None] * k + phase[..., None]
         c, s = jnp.cos(th), jnp.sin(th)
         g = jnp.maximum(gain[..., None], 1e-12)
-        pi, pq = di[..., p:], dq[..., p:]
-        ri = (pi * c + pq * s) / g
-        rq = (pq * c - pi * s) / g
+        ci = (di * c + dq * s) / g
+        cq = (dq * c - di * s) / g
         report = {"timing": t0, "lag": lag, "cfo_rad_per_symbol": cfo,
                   "phase": phase, "gain": gain}
-        return (ri, rq), report
+        if self.eq_taps is not None:
+            from .ops.equalizer import apply_equalizer, train_lmmse
+
+            wr, wi = train_lmmse(ci[..., :p], cq[..., :p], self.pre_iq,
+                                 self.eq_taps, self.eq_ridge)
+            ci, cq = apply_equalizer(ci, cq, wr, wi)
+            report["eq_taps"] = (wr, wi)
+        ci = ci[..., p:p + n_payload]
+        cq = cq[..., p:p + n_payload]
+        if self.track_block is not None:
+            ci, cq, phases = dd_phase_track(
+                ci, cq, self.chain.lut, self.track_block)
+            report["tracked_phase"] = phases
+        return (ci, cq), report
 
     def rx(self, i: jnp.ndarray, q: jnp.ndarray,
            n_payload: int) -> jnp.ndarray:

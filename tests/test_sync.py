@@ -177,7 +177,9 @@ class TestAcquiringReceiver:
             assert _circ_err(float(v), (31 + mu) % SPS, SPS) < 0.1
 
     def test_acquisition_is_jittable(self):
-        chain, rxr, bits, i, q = _burst(n_payload=64)
+        chain, _, bits, i, q = _burst(n_payload=64)
+        rxr = AcquiringReceiver(chain, PRE, max_lag=160, eq_taps=5,
+                                track_block=16)
         fn = jax.jit(lambda a, b: rxr.rx(a, b, 64))
         out = fn(i, q)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
@@ -203,3 +205,77 @@ def test_correct_timing_lands_on_grid(mu):
     # After correction the residual fractional offset is ~0 (mod 1).
     frac = float(np.asarray(t1).ravel()[0]) % 1.0
     assert min(frac, 1.0 - frac) < 0.05
+
+
+class TestEqualizer:
+    # 3-ray channel: echoes at fractional symbol delays (samples 4 and 12 at
+    # sps=8) — ISI at the decision points that the matched filter cannot
+    # remove (integer-symbol echoes land on raised-cosine nulls; these don't).
+    HI = np.array([1, 0, 0, 0, 0.3, 0, 0, 0, 0, 0, 0, 0, 0.45], np.float32)
+    HQ = np.array([0, 0, 0, 0, -0.2, 0, 0, 0, 0, 0, 0, 0, 0.25], np.float32)
+
+    def test_train_and_apply_inverts_known_isi(self):
+        from modem_tpu.ops.equalizer import apply_equalizer, train_lmmse
+
+        rng = np.random.default_rng(11)
+        k = rng.integers(0, 4, 256)
+        a = np.stack([np.cos(2 * np.pi * k / 4 + np.pi / 4),
+                      np.sin(2 * np.pi * k / 4 + np.pi / 4)], -1)
+        # Symbol-rate channel: d_k = a_k + (0.3+0.15j) * a_{k-1}
+        di = jnp.asarray(a[:, 0] + 0.3 * np.roll(a[:, 0], 1)
+                         - 0.15 * np.roll(a[:, 1], 1), jnp.float32)
+        dq = jnp.asarray(a[:, 1] + 0.3 * np.roll(a[:, 1], 1)
+                         + 0.15 * np.roll(a[:, 0], 1), jnp.float32)
+        wr, wi = train_lmmse(di, dq, a.astype(np.float32), 7, ridge=1e-4)
+        yi, yq = apply_equalizer(di, dq, wr, wi)
+        err = np.max(np.abs(np.asarray(yi)[4:250] - a[4:250, 0]))
+        assert err < 0.05
+
+    def _impaired(self, rxr, seed=5):
+        rng = np.random.default_rng(seed)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 512)), jnp.int32)
+        i, q = rxr.tx_burst(bits)
+        i, q = multipath_fir(i, q, self.HI, self.HQ)
+        i, q = awgn(jax.random.key(2), i, q, snr_db=35.0)
+        return bits, i, q
+
+    def test_strong_multipath_defeats_tracking_alone(self):
+        # ISI biases the preamble carrier estimate AND corrupts decisions:
+        # both the plain receiver and phase-tracking-only fail here.
+        chain = qpsk_reference_chain(RATES)
+        plain = AcquiringReceiver(chain, PRE, max_lag=160)
+        tracked = AcquiringReceiver(chain, PRE, max_lag=160, track_block=16)
+        bits, i, q = self._impaired(plain)
+        assert int(jnp.sum(plain.rx(i, q, 256) != bits)) > 0
+        assert int(jnp.sum(tracked.rx(i, q, 256) != bits)) > 0
+
+    def test_equalized_receiver_recovers_exact_bits(self):
+        # ... and the preamble-trained LMMSE equalizer + decision-directed
+        # phase tracking recovers every bit.
+        chain = qpsk_reference_chain(RATES)
+        rxr = AcquiringReceiver(chain, PRE, max_lag=160, eq_taps=7,
+                                track_block=16)
+        bits, i, q = self._impaired(rxr)
+        out = rxr.rx(i, q, 256)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_tracking_fixes_residual_cfo_drift(self):
+        # A milder fractional-delay echo: the spurious CFO the ISI induces in
+        # the preamble estimate accumulates over 256 payload symbols and
+        # breaks the untracked receiver; block DD tracking recovers exactly.
+        hi = np.zeros(13, np.float32)
+        hq = np.zeros(13, np.float32)
+        hi[0], hi[12], hq[12] = 1.0, 0.35, 0.175
+        chain = qpsk_reference_chain(RATES)
+        plain = AcquiringReceiver(chain, PRE, max_lag=160)
+        tracked = AcquiringReceiver(chain, PRE, max_lag=160, track_block=16)
+        rng = np.random.default_rng(5)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 512)), jnp.int32)
+        i, q = plain.tx_burst(bits)
+        i, q = multipath_fir(i, q, hi, hq)
+        i, q = apply_static_delay(i, q, 0.2)
+        i, q = apply_cfo(i, q, 5.0, RATES.sample_rate, phase0=0.5)
+        i, q = awgn(jax.random.key(2), i, q, snr_db=32.0)
+        assert int(jnp.sum(plain.rx(i, q, 256) != bits)) > 0
+        out = tracked.rx(i, q, 256)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
