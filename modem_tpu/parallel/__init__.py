@@ -19,6 +19,7 @@ All collectives are XLA collectives (``ppermute``/``psum``/``all_gather``)
 compiled over ICI/DCN via ``jax.shard_map`` — no custom transport.
 """
 
+from .acquire import sharded_acquire_fn
 from .mesh import make_modem_mesh
 from .collectives import left_halo, right_halo, exclusive_prefix
 from .fir import fir_with_halo, sharded_fir
@@ -32,6 +33,6 @@ __all__ = [
     "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
     "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
     "ShardedPulseChain", "ShardedResampledChain",
-    "time_sharded_baseband", "sharded_demodulate",
+    "sharded_acquire_fn", "time_sharded_baseband", "sharded_demodulate",
     "time_sharded_fsk_roundtrip_fn",
 ]

@@ -279,3 +279,22 @@ class TestEqualizer:
         assert int(jnp.sum(plain.rx(i, q, 256) != bits)) > 0
         out = tracked.rx(i, q, 256)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+
+def test_sharded_acquisition_matches_single_device():
+    from modem_tpu.parallel import make_modem_mesh, sharded_acquire_fn
+
+    chain = qpsk_reference_chain(RATES)
+    rxr = AcquiringReceiver(chain, PRE, max_lag=128, eq_taps=5,
+                            track_block=16)
+    rng = np.random.default_rng(21)
+    bits = jnp.asarray(rng.integers(0, 2, (8, 128)), jnp.int32)
+    i, q = rxr.tx_burst(bits)
+    i, q = apply_static_delay(i, q, 0.4)
+    i, q = apply_cfo(i, q, 6.0, RATES.sample_rate, phase0=0.3)
+    i, q = awgn(jax.random.key(4), i, q, snr_db=30.0)
+    want = rxr.rx(i, q, 64)
+    mesh = make_modem_mesh(ch=8, time=1)
+    got = sharded_acquire_fn(rxr, mesh, 64)(i, q)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(bits))
