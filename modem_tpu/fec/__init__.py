@@ -1,0 +1,15 @@
+"""Forward error correction: the layer downstream of the soft-output RX.
+
+The reference stops at soft I/Q (`demodulate.rs:41-43`); this package
+completes the production path bits -> encode -> interleave -> modem ->
+LLRs (:mod:`modem_tpu.ops.llr`) -> deinterleave -> Viterbi -> bits, all as
+jit/vmap/shard-friendly block transforms (see :mod:`modem_tpu.fec.conv` for
+the TPU shaping of the trellis recursions).
+"""
+
+from .conv import ConvCode, ccsds_code
+from .interleave import block_deinterleave, block_interleave
+
+__all__ = [
+    "ConvCode", "block_deinterleave", "block_interleave", "ccsds_code",
+]
