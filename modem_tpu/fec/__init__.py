@@ -8,8 +8,14 @@ the TPU shaping of the trellis recursions).
 """
 
 from .conv import ConvCode, ccsds_code
+from .crc import Crc, crc16_ccitt, crc32_mpeg2
 from .interleave import block_deinterleave, block_interleave
+from .puncture import Puncturer, rate23_pattern, rate34_pattern
+from .scramble import Scrambler, dvb_scrambler, ieee80211_scrambler
 
 __all__ = [
-    "ConvCode", "block_deinterleave", "block_interleave", "ccsds_code",
+    "ConvCode", "Crc", "Puncturer", "Scrambler", "block_deinterleave",
+    "block_interleave", "ccsds_code", "crc16_ccitt", "crc32_mpeg2",
+    "dvb_scrambler", "ieee80211_scrambler", "rate23_pattern",
+    "rate34_pattern",
 ]
