@@ -7,14 +7,15 @@ jit/vmap/shard-friendly block transforms (see :mod:`modem_tpu.fec.conv` for
 the TPU shaping of the trellis recursions).
 """
 
-from .conv import ConvCode, ccsds_code
+from .conv import ConvCode, StreamingViterbi, ccsds_code
 from .crc import Crc, crc16_ccitt, crc32_mpeg2
 from .interleave import block_deinterleave, block_interleave
 from .puncture import Puncturer, rate23_pattern, rate34_pattern
 from .scramble import Scrambler, dvb_scrambler, ieee80211_scrambler
 
 __all__ = [
-    "ConvCode", "Crc", "Puncturer", "Scrambler", "block_deinterleave",
+    "ConvCode", "Crc", "Puncturer", "Scrambler", "StreamingViterbi",
+    "block_deinterleave",
     "block_interleave", "ccsds_code", "crc16_ccitt", "crc32_mpeg2",
     "dvb_scrambler", "ieee80211_scrambler", "rate23_pattern",
     "rate34_pattern",

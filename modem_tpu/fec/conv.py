@@ -32,6 +32,13 @@ import jax
 import jax.numpy as jnp
 
 _BIG = jnp.float32(1e9)
+#: Guard branch cost for padding *before* the stream start: transitions that
+#: emit a 1-bit during the guard region are effectively forbidden, so the
+#: path metric stays pinned to the all-zero state — for a non-catastrophic
+#: code the zero self-loop is the only zero-output cycle. This converts a
+#: free-running window start into the exact terminated-trellis start without
+#: special-casing window 0 (used by the windowed/streaming/sharded decoders).
+_GUARD = jnp.float32(1e6)
 
 
 class ConvCode:
@@ -98,10 +105,20 @@ class ConvCode:
 
     # ---- Viterbi ----
 
-    def _acs(self, costs: jnp.ndarray):
+    def _acs(self, costs: jnp.ndarray, pm0: jnp.ndarray | None = None,
+             end_state: jnp.ndarray | None = None, trim: bool = True,
+             end_bias: jnp.ndarray | None = None):
         """``costs [..., T, n]`` per-step per-branch-bit costs (cost of a
         transition = sum over its code bits of ``costs[..., k, j]`` where the
-        bit is 1) -> terminated-ML data bits ``[..., T - (K-1)]``."""
+        bit is 1) -> terminated-ML data bits ``[..., T - (K-1)]``.
+
+        ``pm0``: optional ``[..., S]`` initial path metrics (default: state 0
+        only — the terminated-trellis start). ``end_state``: traceback start
+        — default state 0 (terminated trellis), the string ``"argmin"`` for
+        the best final state (free-running / windowed decoding), or a
+        ``[...]`` array of states. ``end_bias``: optional ``[..., S]`` cost
+        added to the final metrics before the argmin (used to pin selected
+        batch elements — e.g. the last window — to a known end state)."""
         s = self.n_states
         tm = jnp.moveaxis(costs, -2, 0)  # [T, ..., n]
         pred0 = jnp.asarray(self._pred[0])
@@ -119,9 +136,16 @@ class ConvCode:
             pm_new = pm_new - jnp.min(pm_new, axis=-1, keepdims=True)
             return pm_new, d
 
-        pm0 = jnp.full(costs.shape[:-2] + (s,), _BIG)
-        pm0 = pm0.at[..., 0].set(0.0)
-        _, dec = jax.lax.scan(step, pm0, tm)  # dec [T, ..., S] bool
+        if pm0 is None:
+            pm0 = jnp.full(costs.shape[:-2] + (s,), _BIG)
+            pm0 = pm0.at[..., 0].set(0.0)
+        else:
+            # Anchor to the data so shard_map's varying-axis tracking agrees
+            # between carry input and output (costs are finite, so this is
+            # exactly zero).
+            pm0 = pm0 + 0.0 * jnp.sum(costs, axis=(-1, -2))[..., None]
+            pm0 = jnp.broadcast_to(pm0, costs.shape[:-2] + (s,))
+        pm_f, dec = jax.lax.scan(step, pm0, tm)  # dec [T, ..., S] bool
 
         in_bit = jnp.asarray(self._in_bit)
 
@@ -132,11 +156,20 @@ class ConvCode:
             prev = ((state << 1) & (s - 1)) | d
             return prev, b
 
-        st0 = jnp.zeros(costs.shape[:-2], jnp.int32)
+        if end_state is None:
+            st0 = jnp.zeros(costs.shape[:-2], jnp.int32)
+        elif isinstance(end_state, str) and end_state == "argmin":
+            if end_bias is not None:
+                pm_f = pm_f + end_bias
+            st0 = jnp.argmin(pm_f, axis=-1).astype(jnp.int32)
+        else:
+            st0 = jnp.broadcast_to(end_state, costs.shape[:-2])
         _, bits_rev = jax.lax.scan(back, st0, dec, reverse=True)
         # scan(reverse=True) walks k = T-1 .. 0 but stacks outputs in input
         # order, so bits_rev[k] is already the data bit of step k.
         bits = jnp.moveaxis(bits_rev, 0, -1)
+        if not trim:
+            return bits
         return bits[..., : bits.shape[-1] - (self.k - 1)]
 
     def decode_soft(self, llrs: jnp.ndarray) -> jnp.ndarray:
@@ -156,6 +189,124 @@ class ConvCode:
 
     def rate(self) -> float:
         return 1.0 / self.n
+
+    # ---- windowed (truncated-traceback) decoding ----
+
+    def decode_soft_windowed(self, llrs: jnp.ndarray, block_steps: int,
+                             halo_steps: int | None = None) -> jnp.ndarray:
+        """Overlapped-window decode: the time-parallel / streaming form.
+
+        The full-block scan above is sequential over all ``T`` trellis
+        steps; production decoders instead use *truncated traceback*: decode
+        windows of ``block_steps`` with ``halo_steps`` of context on each
+        side (free initial metrics, argmin traceback) and keep only the
+        interior — survivor paths merge within ~5–10 constraint lengths, so
+        a halo of ``10·K`` steps (the default) reproduces the full Viterbi
+        decision sequence except with vanishing probability. Here every
+        window is an independent batch element: ``T/B`` windows decode in
+        ONE batched scan of length ``B + 2h`` instead of one scan of length
+        ``T`` — this is how the decoder spans the time axis of the mesh
+        (:mod:`modem_tpu.parallel.viterbi`) and how unbounded streams decode
+        in constant memory (:class:`StreamingViterbi`).
+
+        Padding outside the stream is exact: ``_GUARD`` branch costs on
+        both flanks pin window 0 to the terminated-trellis start and the
+        last window to the state-0 end (traceback through the guard region
+        provably rides the zero self-loop back to the true stream end).
+        """
+        t = llrs.shape[-1] // self.n
+        lam = llrs.reshape(llrs.shape[:-1] + (t, self.n))
+        h = 10 * self.k if halo_steps is None else int(halo_steps)
+        b = int(block_steps)
+        w = -(-t // b)  # windows
+        tp = w * b
+        pad_l = h
+        pad_r = tp - t + h
+        pad_cfg = [(0, 0)] * (lam.ndim - 2) + [(pad_l, pad_r), (0, 0)]
+        lam_p = jnp.pad(lam, pad_cfg)
+        lam_p = lam_p.at[..., :h, :].set(_GUARD)
+        lam_p = lam_p.at[..., h + t:, :].set(_GUARD)
+        idx = np.arange(w)[:, None] * b + np.arange(b + 2 * h)[None, :]
+        win = lam_p[..., idx, :]               # [..., W, B+2h, n]
+        win = jnp.moveaxis(win, -3, 0)         # [W, ..., B+2h, n]
+        pm0 = jnp.zeros((self.n_states,), jnp.float32)
+        # Pin the last window's traceback to the terminated end state.
+        pin = jnp.full((self.n_states,), _BIG).at[0].set(0.0)
+        bias = jnp.zeros((w,) + (1,) * (lam.ndim - 2) + (self.n_states,),
+                         jnp.float32).at[w - 1].add(pin)
+        bits = self._acs(win, pm0=pm0, end_state="argmin", trim=False,
+                         end_bias=bias)
+        bits = bits[..., h:h + b]              # [W, ..., B]
+        bits = jnp.moveaxis(bits, 0, -2)
+        bits = bits.reshape(bits.shape[:-2] + (tp,))
+        return bits[..., : t - (self.k - 1)]
+
+
+class StreamingViterbi:
+    """Constant-memory streaming Viterbi over an unbounded LLR stream.
+
+    Push fixed blocks of ``block_steps`` trellis steps (``n·block_steps``
+    LLRs); each push returns the decisions of the *previous* block — one
+    block of latency buys the right-side traceback context. ``flush``
+    returns the final block and drops the ``K-1`` flush bits (terminated
+    stream). The carried state (previous block + left context) is an
+    explicit pytree, like every other streaming op in this framework.
+    """
+
+    def __init__(self, code: ConvCode, block_steps: int,
+                 halo_steps: int | None = None):
+        self.code = code
+        self.b = int(block_steps)
+        self.h = 10 * code.k if halo_steps is None else int(halo_steps)
+        if self.h < code.k:
+            raise ValueError("halo must cover at least one constraint length")
+        if self.b < self.h:
+            raise ValueError(
+                "block_steps must be >= halo (the right context of a block "
+                "is the head of the next push)")
+        self._prev = None      # [..., B, n] undecoded previous block
+        self._pretail = None   # [..., h, n] steps before prev
+
+    def _window_decode(self, pretail, prev, right, final: bool = False):
+        win = jnp.concatenate([pretail, prev, right], axis=-2)
+        pm0 = jnp.zeros((self.code.n_states,), jnp.float32)
+        bias = None
+        if final:  # pin the terminated end state (see decode_soft_windowed)
+            bias = jnp.full((self.code.n_states,), _BIG).at[0].set(0.0)
+        bits = self.code._acs(win, pm0=pm0, end_state="argmin", trim=False,
+                              end_bias=bias)
+        return bits[..., self.h:self.h + self.b]
+
+    def push(self, llrs: jnp.ndarray) -> jnp.ndarray | None:
+        """One block in; the previous block's decisions out (None first)."""
+        t = llrs.shape[-1] // self.code.n
+        if t != self.b:
+            raise ValueError(f"push exactly {self.b} steps, got {t}")
+        lam = llrs.reshape(llrs.shape[:-1] + (t, self.code.n))
+        if self._prev is None:
+            self._prev = lam
+            # pre-stream guard: pins the first window to the exact
+            # terminated-trellis start (see ``_GUARD``)
+            self._pretail = jnp.full(
+                lam.shape[:-2] + (self.h, self.code.n), _GUARD, lam.dtype)
+            return None
+        out = self._window_decode(self._pretail, self._prev, lam[..., :self.h, :])
+        self._pretail = jnp.concatenate(
+            [self._pretail, self._prev], axis=-2)[..., -self.h:, :]
+        self._prev = lam
+        return out
+
+    def flush(self) -> jnp.ndarray:
+        """Decode the final buffered block; drops the K-1 flush bits."""
+        if self._prev is None:
+            raise ValueError("nothing buffered")
+        right = jnp.full(
+            self._prev.shape[:-2] + (self.h, self.code.n), _GUARD,
+            self._prev.dtype)
+        out = self._window_decode(self._pretail, self._prev, right,
+                                  final=True)
+        self._prev = None
+        return out[..., : self.b - (self.code.k - 1)]
 
 
 def ccsds_code() -> ConvCode:

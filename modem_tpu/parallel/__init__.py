@@ -28,11 +28,13 @@ from .modulator import time_sharded_baseband
 from .resampled import ShardedResampledChain
 from .rx import sharded_demodulate
 from .fsk import time_sharded_fsk_roundtrip_fn
+from .viterbi import sharded_viterbi_fn, viterbi_with_halo
 
 __all__ = [
     "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
     "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
     "ShardedPulseChain", "ShardedResampledChain",
-    "sharded_acquire_fn", "time_sharded_baseband", "sharded_demodulate",
-    "time_sharded_fsk_roundtrip_fn",
+    "sharded_acquire_fn", "sharded_viterbi_fn", "time_sharded_baseband",
+    "sharded_demodulate", "time_sharded_fsk_roundtrip_fn",
+    "viterbi_with_halo",
 ]
