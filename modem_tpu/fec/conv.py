@@ -31,14 +31,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e9)
+# NB: numpy scalars, not jnp — a module-level jnp constant would initialize
+# the XLA backend at import time, which breaks `jax.distributed.initialize`
+# in multi-process workers that import this package first.
+_BIG = np.float32(1e9)
 #: Guard branch cost for padding *before* the stream start: transitions that
 #: emit a 1-bit during the guard region are effectively forbidden, so the
 #: path metric stays pinned to the all-zero state — for a non-catastrophic
 #: code the zero self-loop is the only zero-output cycle. This converts a
 #: free-running window start into the exact terminated-trellis start without
 #: special-casing window 0 (used by the windowed/streaming/sharded decoders).
-_GUARD = jnp.float32(1e6)
+_GUARD = np.float32(1e6)
 
 
 class ConvCode:
@@ -107,7 +110,7 @@ class ConvCode:
 
     def _acs(self, costs: jnp.ndarray, pm0: jnp.ndarray | None = None,
              end_state: jnp.ndarray | None = None, trim: bool = True,
-             end_bias: jnp.ndarray | None = None):
+             end_bias: jnp.ndarray | None = None, unroll: int = 8):
         """``costs [..., T, n]`` per-step per-branch-bit costs (cost of a
         transition = sum over its code bits of ``costs[..., k, j]`` where the
         bit is 1) -> terminated-ML data bits ``[..., T - (K-1)]``.
@@ -118,23 +121,56 @@ class ConvCode:
         the best final state (free-running / windowed decoding), or a
         ``[...]`` array of states. ``end_bias``: optional ``[..., S]`` cost
         added to the final metrics before the argmin (used to pin selected
-        batch elements — e.g. the last window — to a known end state)."""
+        batch elements — e.g. the last window — to a known end state).
+
+        TPU shaping (measured on the chip; the naive form is dominated by
+        per-step gathers and scan overhead, not arithmetic):
+
+        * the predecessor fetch is a *perfect shuffle*, not a gather:
+          ``pred0`` of every state is an even state in order, twice over, so
+          ``pm[pred0] = tile(pm[even], 2)`` — a reshape + concat;
+        * traceback needs no tables: the decoded bit is ``state >> (K-2)``
+          and the survivor flag is a one-hot mask-reduce, so the backward
+          scan is pure elementwise math;
+        * both scans process ``unroll`` trellis steps per iteration and
+          renormalize once per chunk (branch costs are bounded by
+          ``_GUARD``, so f32 headroom is ample); the front is padded to a
+          chunk multiple with guard steps (terminated start: provably
+          held at state 0) or zero steps (free-running start: metrics
+          unchanged).
+        """
         s = self.n_states
-        tm = jnp.moveaxis(costs, -2, 0)  # [T, ..., n]
-        pred0 = jnp.asarray(self._pred[0])
-        pred1 = jnp.asarray(self._pred[1])
+        u = int(unroll)
+        t_in = costs.shape[-2]
+        pad = (-t_in) % u
+        if pad:
+            fill = _GUARD if pm0 is None else jnp.float32(0.0)
+            g = jnp.full(costs.shape[:-2] + (pad, self.n), fill,
+                         costs.dtype)
+            costs = jnp.concatenate([g, costs], axis=-2)
+        tp = t_in + pad
         out0 = jnp.asarray(self._outs[0])  # [S, n]
         out1 = jnp.asarray(self._outs[1])
+        tm = jnp.moveaxis(costs, -2, 0)  # [T', ..., n]
+        tm = tm.reshape((tp // u, u) + tm.shape[1:])
 
         def step(pm, lam):
             bm0 = jnp.einsum("sn,...n->...s", out0, lam)
             bm1 = jnp.einsum("sn,...n->...s", out1, lam)
-            c0 = pm[..., pred0] + bm0
-            c1 = pm[..., pred1] + bm1
-            d = (c1 < c0)
-            pm_new = jnp.where(d, c1, c0)
-            pm_new = pm_new - jnp.min(pm_new, axis=-1, keepdims=True)
-            return pm_new, d
+            pm2 = pm.reshape(pm.shape[:-1] + (s // 2, 2))
+            e, o = pm2[..., 0], pm2[..., 1]
+            c0 = jnp.concatenate([e, e], axis=-1) + bm0
+            c1 = jnp.concatenate([o, o], axis=-1) + bm1
+            d = c1 < c0
+            return jnp.where(d, c1, c0), d
+
+        def fwd(pm, lam_u):
+            decs = []
+            for i in range(u):
+                pm, d = step(pm, lam_u[i])
+                decs.append(d)
+            pm = pm - jnp.min(pm, axis=-1, keepdims=True)
+            return pm, jnp.stack(decs)
 
         if pm0 is None:
             pm0 = jnp.full(costs.shape[:-2] + (s,), _BIG)
@@ -145,16 +181,20 @@ class ConvCode:
             # exactly zero).
             pm0 = pm0 + 0.0 * jnp.sum(costs, axis=(-1, -2))[..., None]
             pm0 = jnp.broadcast_to(pm0, costs.shape[:-2] + (s,))
-        pm_f, dec = jax.lax.scan(step, pm0, tm)  # dec [T, ..., S] bool
+        pm_f, dec = jax.lax.scan(fwd, pm0, tm)  # dec [T'/u, u, ..., S]
 
-        in_bit = jnp.asarray(self._in_bit)
+        ar = jnp.arange(s)
 
-        def back(state, d_k):
-            b = in_bit[state]
-            d = jnp.take_along_axis(
-                d_k, state[..., None], axis=-1)[..., 0].astype(jnp.int32)
-            prev = ((state << 1) & (s - 1)) | d
-            return prev, b
+        def back(state, d_u):
+            bs = []
+            for i in range(u - 1, -1, -1):
+                b = state >> (self.k - 2)  # the input bit that led here
+                m = ar == state[..., None]
+                d = jnp.sum(jnp.where(m, d_u[i], False).astype(jnp.int32),
+                            axis=-1)
+                state = ((state << 1) & (s - 1)) | d
+                bs.append(b)
+            return state, jnp.stack(bs[::-1])
 
         if end_state is None:
             st0 = jnp.zeros(costs.shape[:-2], jnp.int32)
@@ -165,9 +205,11 @@ class ConvCode:
         else:
             st0 = jnp.broadcast_to(end_state, costs.shape[:-2])
         _, bits_rev = jax.lax.scan(back, st0, dec, reverse=True)
-        # scan(reverse=True) walks k = T-1 .. 0 but stacks outputs in input
-        # order, so bits_rev[k] is already the data bit of step k.
-        bits = jnp.moveaxis(bits_rev, 0, -1)
+        # scan(reverse=True) walks chunks T'/u-1 .. 0 but stacks outputs in
+        # input order, so after flattening, bits_rev[k] is the data bit of
+        # padded step k.
+        bits = bits_rev.reshape((tp,) + bits_rev.shape[2:])
+        bits = jnp.moveaxis(bits, 0, -1)[..., pad:]
         if not trim:
             return bits
         return bits[..., : bits.shape[-1] - (self.k - 1)]
