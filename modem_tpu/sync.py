@@ -270,6 +270,75 @@ def dd_phase_track(
     return yi, yq, jnp.moveaxis(phases, 0, -1)
 
 
+def dd_carrier_track(
+    di: jnp.ndarray,
+    dq: jnp.ndarray,
+    lut: np.ndarray,
+    block: int = 16,
+    phase_gain: float = 0.7,
+    freq_gain: float = 0.25,
+):
+    """Second-order decision-directed carrier loop (phase **and** frequency).
+
+    :func:`dd_phase_track` is first-order: under a residual CFO it converges
+    to a constant phase *lag* of roughly ``slope·block`` (each step only
+    cancels the error it just measured, then the ramp re-accrues). This
+    loop also integrates the error into a frequency state, so a constant
+    slope is tracked with zero steady-state lag — the classic type-II PLL,
+    run the TPU way at block rate: the scan carry is ``(phi, freq)`` per
+    channel, the within-block derotation includes the per-symbol slope
+    ``freq·j``, and all ``block`` symbols process vectorized.
+
+    Returns ``(ci, cq, report)`` with ``report = {"phase", "freq"}`` the
+    per-block carry trajectories (``freq`` in rad/symbol; its tail is an
+    estimate of the residual CFO).
+    """
+    import jax
+
+    from .ops.slicer import lut_slice
+
+    k = di.shape[-1]
+    nb = -(-k // block)
+    pad = nb * block - k
+    if pad:
+        z = jnp.zeros(di.shape[:-1] + (pad,), di.dtype)
+        di = jnp.concatenate([di, z], axis=-1)
+        dq = jnp.concatenate([dq, z], axis=-1)
+    bshape = di.shape[:-1] + (nb, block)
+    bi = jnp.moveaxis(di.reshape(bshape), -2, 0)  # [nb, ..., block]
+    bq = jnp.moveaxis(dq.reshape(bshape), -2, 0)
+    lut_np = np.asarray(lut, np.float32)
+    j = jnp.arange(block, dtype=jnp.float32)
+
+    def step(carry, xs):
+        phi, f = carry
+        xi, xq = xs
+        th = phi[..., None] + f[..., None] * j  # predicted phase per symbol
+        c, s = jnp.cos(th), jnp.sin(th)
+        ri = xi * c + xq * s                    # rotate by -theta
+        rq = xq * c - xi * s
+        a = jnp.asarray(lut_np)[lut_slice(ri, rq, lut_np)]  # [..., block, 2]
+        er = jnp.sum(ri * a[..., 0] + rq * a[..., 1], axis=-1)
+        ei = jnp.sum(rq * a[..., 0] - ri * a[..., 1], axis=-1)
+        err = _angle(er, ei)                    # mean residual rotation
+        # apply the measured correction to this block's output
+        c2, s2 = jnp.cos(err)[..., None], jnp.sin(err)[..., None]
+        yi = ri * c2 + rq * s2
+        yq = rq * c2 - ri * s2
+        phi_new = phi + f * block + phase_gain * err
+        f_new = f + freq_gain * err / block
+        return (phi_new, f_new), (yi, yq, phi_new, f_new)
+
+    phi0 = jnp.zeros(di.shape[:-1], jnp.float32)
+    f0 = jnp.zeros(di.shape[:-1], jnp.float32)
+    _, (yi, yq, phases, freqs) = jax.lax.scan(step, (phi0, f0), (bi, bq))
+    yi = jnp.moveaxis(yi, 0, -2).reshape(di.shape)[..., :k]
+    yq = jnp.moveaxis(yq, 0, -2).reshape(dq.shape)[..., :k]
+    report = {"phase": jnp.moveaxis(phases, 0, -1),
+              "freq": jnp.moveaxis(freqs, 0, -1)}
+    return yi, yq, report
+
+
 # ---------------------------------------------------------------------------
 # Composed burst receiver
 # ---------------------------------------------------------------------------
@@ -295,7 +364,7 @@ class AcquiringReceiver:
 
     def __init__(self, chain, preamble_symbols: np.ndarray, max_lag: int,
                  eq_taps: int | None = None, eq_ridge: float = 1e-3,
-                 track_block: int | None = None):
+                 track_block: int | None = None, track_order: int = 1):
         if chain.carrier_hz is not None:
             raise NotImplementedError(
                 "AcquiringReceiver operates at complex baseband; downconvert "
@@ -315,7 +384,13 @@ class AcquiringReceiver:
         #: optional decision-directed block phase tracking
         #: (:func:`dd_phase_track`) over the payload — corrects the residual
         #: CFO/phase the one-shot preamble estimate leaves behind.
+        #: ``track_order=2`` uses the second-order loop
+        #: (:func:`dd_carrier_track`): zero steady-state lag under residual
+        #: CFO.
         self.track_block = track_block
+        if track_order not in (1, 2):
+            raise ValueError("track_order must be 1 or 2")
+        self.track_order = track_order
 
     def tx_burst(self, payload_bits: jnp.ndarray):
         """Preamble + payload bits -> baseband I/Q via the chain's TX."""
@@ -384,9 +459,15 @@ class AcquiringReceiver:
         ci = ci[..., p:p + n_payload]
         cq = cq[..., p:p + n_payload]
         if self.track_block is not None:
-            ci, cq, phases = dd_phase_track(
-                ci, cq, self.chain.lut, self.track_block)
-            report["tracked_phase"] = phases
+            if self.track_order == 2:
+                ci, cq, trk = dd_carrier_track(
+                    ci, cq, self.chain.lut, self.track_block)
+                report["tracked_phase"] = trk["phase"]
+                report["tracked_freq"] = trk["freq"]
+            else:
+                ci, cq, phases = dd_phase_track(
+                    ci, cq, self.chain.lut, self.track_block)
+                report["tracked_phase"] = phases
         return (ci, cq), report
 
     def rx(self, i: jnp.ndarray, q: jnp.ndarray,
