@@ -134,6 +134,46 @@ def main():
     bench("framing: CRC-16 append + scramble", build_framing,
           CHANNELS * N_DATA)
 
+    from modem_tpu.fec import rs_255_223
+
+    rs = rs_255_223()
+    n_cw = 64  # codewords per block
+    rs_msgs = jnp.asarray(
+        rng.integers(0, 256, (N_BLOCKS, n_cw, rs.k)).astype(np.int32))
+    rs_cw = jax.jit(jax.vmap(rs.encode))(rs_msgs)
+    # inject t/2 symbol errors per codeword
+    cw_np = np.array(rs_cw)
+    for b in range(N_BLOCKS):
+        for c in range(n_cw):
+            pos = rng.choice(rs.n, rs.t // 2, replace=False)
+            for p in pos:
+                cw_np[b, c, p] ^= int(rng.integers(1, 256))
+    rs_recv = jnp.asarray(cw_np)
+    rs_expect = int(rs_msgs.sum())
+
+    def build_rs_enc():
+        def run(blocks):
+            def body(acc, m):
+                return acc + jnp.sum(rs.encode(m)), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), blocks)
+            return acc
+        expect = int(jax.jit(
+            lambda x: sum(jnp.sum(rs.encode(m)) for m in x))(rs_msgs))
+        return jax.jit(run), rs_msgs, expect
+
+    def build_rs_dec():
+        def run(blocks):
+            def body(acc, r):
+                msg, ok = rs.decode(r)
+                return acc + jnp.sum(msg * ok[..., None]), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), blocks)
+            return acc
+        return jax.jit(run), rs_recv, rs_expect
+
+    rs_info = n_cw * rs.k * 8
+    bench("RS(255,223) encode", build_rs_enc, rs_info)
+    bench("RS(255,223) decode (8 sym errs/cw)", build_rs_dec, rs_info)
+
 
 if __name__ == "__main__":
     main()
