@@ -19,10 +19,11 @@ from .chain import (
 )
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
+from .link import FramedLink
 
 __all__ = [
     "AcquiringReceiver", "DcqpskChain", "Demodulator", "DifferentialChain",
-    "Freq", "FskChain", "Modulator", "MskChain", "OqpskChain",
+    "FramedLink", "Freq", "FskChain", "Modulator", "MskChain", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "make_scheme", "qpsk_reference_chain",
 ]

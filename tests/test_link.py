@@ -1,0 +1,99 @@
+"""FramedLink (modem_tpu/link.py): the composed production link.
+
+End-to-end payload→waveform→payload with CRC verdicts, across the stage
+combinations (with/without RS outer code, with/without puncturing), plus
+the size-coupling validation errors.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from modem_tpu import Rates, qpsk_reference_chain
+from modem_tpu.fec import Puncturer, rate34_pattern, rs_dvb
+from modem_tpu.link import FramedLink
+from modem_tpu.ops.channel import awgn
+
+
+RATES = Rates(baud_rate=1250, sample_rate=10000)
+
+
+def _run(link, snr_db, channels=4, seed=0):
+    rng = np.random.default_rng(seed)
+    payload = jnp.asarray(
+        rng.integers(0, 2, (channels, link.payload_bits)), jnp.int32)
+    i, q = link.tx(payload)
+    ni, nq = awgn(jax.random.key(seed), i, q, snr_db=snr_db)
+    p = float(jnp.mean(i * i + q * q))
+    nv = p / (2.0 * 10.0 ** (snr_db / 10.0))
+    out, ok = link.rx((ni, nq), nv)
+    errs = int(jnp.sum(out != payload))
+    return errs, np.asarray(ok), payload.size
+
+
+class TestFramedLink:
+    def test_plain_conv_link_clean_at_low_snr(self):
+        link = FramedLink(qpsk_reference_chain(RATES), payload_bits=1002)
+        assert link.wire_bits == 2048 and link.n_symbols == 1024
+        errs, ok, n = _run(link, snr_db=-4.0)
+        assert errs == 0 and ok.all()
+
+    def test_crc_flags_a_broken_channel(self):
+        link = FramedLink(qpsk_reference_chain(RATES), payload_bits=1002)
+        errs, ok, n = _run(link, snr_db=-11.0, seed=1)
+        assert errs > 0
+        assert not ok.any()
+
+    def test_concatenated_rs_link(self):
+        # DVB RS(204,188) outer: steps = 204*8+6 = 1638; rows must divide
+        # wire 3276 -> rows=4.
+        link = FramedLink(qpsk_reference_chain(RATES), rs=rs_dvb(),
+                          interleave_rows=4)
+        assert link.payload_bits == 188 * 8 - 16
+        # At an SNR where the inner decoder leaks errors, the outer code
+        # must deliver exact frames.
+        errs, ok, n = _run(link, snr_db=-6.5, seed=2)
+        assert errs == 0 and ok.all()
+
+    def test_punctured_rs_link(self):
+        # rate-3/4 inner: steps 1638 divides by 3; wire 4368/8 ok.
+        link = FramedLink(qpsk_reference_chain(RATES), rs=rs_dvb(),
+                          puncturer=Puncturer(rate34_pattern()),
+                          interleave_rows=8)
+        assert link.wire_bits == 1638 // 3 * 4  # 4 kept of 6 per period
+        errs, ok, n = _run(link, snr_db=-2.0, seed=3)
+        assert errs == 0 and ok.all()
+
+    def test_size_validation(self):
+        chain = qpsk_reference_chain(RATES)
+        try:
+            FramedLink(chain)  # no payload size, no RS
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+        try:
+            FramedLink(chain, rs=rs_dvb(), interleave_rows=8)  # 3276 % 8
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "interleave_rows" in str(e)
+        try:
+            FramedLink(chain, rs=rs_dvb(), payload_bits=100)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "RS" in str(e)
+
+    def test_whole_path_jits(self):
+        link = FramedLink(qpsk_reference_chain(RATES), payload_bits=1002)
+        rng = np.random.default_rng(4)
+        payload = jnp.asarray(
+            rng.integers(0, 2, (2, link.payload_bits)), jnp.int32)
+
+        @jax.jit
+        def loop(p):
+            i, q = link.tx(p)
+            return link.rx((i, q), 1e-4)
+
+        out, ok = loop(payload)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+        assert np.asarray(ok).all()
