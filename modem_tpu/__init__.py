@@ -20,10 +20,13 @@ from .chain import (
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
+from .ops.channelizer import Channelizer
 
 __all__ = [
-    "AcquiringReceiver", "DcqpskChain", "Demodulator", "DifferentialChain",
-    "FramedLink", "Freq", "FskChain", "Modulator", "MskChain", "OqpskChain",
+    "AcquiringReceiver", "Channelizer", "DcqpskChain", "Demodulator",
+    "DifferentialChain",
+    "FramedLink", "Freq", "FskChain", "Modulator", "MskChain",
+    "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "make_scheme", "qpsk_reference_chain",
 ]

@@ -1,0 +1,131 @@
+"""Polyphase filter-bank channelizer: one wideband stream ↔ M channels.
+
+New capability (the reference is strictly single-channel; BASELINE.json's
+config #5 is a 256-channel bank, and a deployed bank shares one wideband
+front end). The **synthesis** bank combines M channel-rate baseband streams
+into one wideband stream at M× the rate (each channel translated to center
+``m/M`` of the wideband rate); the **analysis** bank splits it back —
+together they turn the sharded per-channel chains into a single-antenna
+system.
+
+TPU shaping of the classic maximally-decimated PFB:
+
+* the commutator is a reshape: wideband ↔ ``[..., K, M]`` phase matrix
+  (static shapes, no strided access);
+* per-phase filtering is a ``taps_per_phase``-step unrolled MAC over the
+  leading (time) axis of that matrix — contiguous slices only;
+* the M-point DFT across phases is a pair of real ``[M, M]`` matmuls
+  (cos/sin), NOT ``jnp.fft`` — the device has no complex dtype, and for
+  fixed M the MXU eats the dense form: at M=256 the DFT is exactly the
+  hardware's native tile;
+* I/Q stay split real planes end to end.
+
+Design: prototype lowpass = Kaiser-windowed sinc at cutoff ``1/(2M)`` of
+the wideband rate (reusing :func:`modem_tpu.ops.resample.design_lowpass`).
+Near-perfect reconstruction: per-channel signals that occupy the channel
+interior (any of this framework's RRC chains at ``sps ≥ 4``) round-trip
+synthesis → analysis → chain RX with exact decisions (tested, including
+through the blind :class:`modem_tpu.sync.AcquiringReceiver`, which also
+absorbs the bank's group delay without bookkeeping).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .resample import design_lowpass
+
+
+@lru_cache(maxsize=8)
+def _bank(m: int, taps_per_phase: int, beta: float):
+    """(h_poly [m, J] analysis phases, g_poly [m, J] synthesis phases,
+    cos/sin DFT matrices [m, m])."""
+    l = m * taps_per_phase
+    proto = design_lowpass(l, cutoff=1.0 / m, beta=beta).astype(np.float32)
+    # scale: unity passband gain through synthesis-then-analysis is set by
+    # the tests/users; keep each bank's prototype at unit DC gain per phase
+    proto = proto * m / np.sum(proto)
+    hp = proto.reshape(taps_per_phase, m).T.copy()     # h[j*m + p] -> [p, j]
+    ang = 2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    return (hp, np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32))
+
+
+def _phase_filter(u: jnp.ndarray, hp: np.ndarray) -> jnp.ndarray:
+    """``u [..., K, M]`` phase matrix -> causally filtered with per-phase
+    taps ``hp [M, J]`` along K (zero history)."""
+    j = hp.shape[1]
+    pad = jnp.zeros(u.shape[:-2] + (j - 1,) + u.shape[-1:], u.dtype)
+    up = jnp.concatenate([pad, u], axis=-2)
+    k = u.shape[-2]
+    acc = up[..., j - 1:j - 1 + k, :] * jnp.asarray(hp[:, 0])
+    for t in range(1, j):
+        acc = acc + up[..., j - 1 - t:j - 1 - t + k, :] * jnp.asarray(hp[:, t])
+    return acc
+
+
+class Channelizer:
+    """Maximally-decimated M-channel PFB (analysis + synthesis).
+
+    Channel ``m`` is centered at normalized wideband frequency ``m/M``
+    (``m > M/2`` ≡ negative frequencies). Streams are split-plane I/Q.
+    """
+
+    def __init__(self, m: int, taps_per_phase: int = 12, beta: float = 9.0):
+        if m < 2:
+            raise ValueError("need at least 2 channels")
+        self.m = int(m)
+        self.taps_per_phase = int(taps_per_phase)
+        self.beta = float(beta)
+
+    def _mats(self):
+        return _bank(self.m, self.taps_per_phase, self.beta)
+
+    # ---- analysis: wideband [..., N] -> channels [..., M, N/M] ----
+
+    def analyze(self, i: jnp.ndarray, q: jnp.ndarray):
+        m = self.m
+        n = i.shape[-1]
+        if n % m:
+            raise ValueError(f"wideband length {n} must divide by M={m}")
+        hp, cmat, smat = self._mats()
+        # u_p[k] = x[kM - p]: pad M-1 zeros at the front, reshape, flip
+        pad = jnp.zeros(i.shape[:-1] + (m - 1,), i.dtype)
+
+        def phases(x):
+            xp = jnp.concatenate([pad, x[..., : n - (m - 1)]], axis=-1)
+            # xp[kM + r] = x[kM + r - (M-1)]; phase p = column M-1-p
+            return xp.reshape(x.shape[:-1] + (n // m, m))[..., ::-1]
+
+        ui, uq = phases(i), phases(q)
+        vi = _phase_filter(ui, hp)   # [..., K, M]
+        vq = _phase_filter(uq, hp)
+        c = jnp.asarray(cmat)
+        s = jnp.asarray(smat)
+        # y_m = sum_p e^{+j 2pi m p / M} v_p
+        yi = vi @ c.T - vq @ s.T
+        yq = vi @ s.T + vq @ c.T
+        return jnp.moveaxis(yi, -1, -2), jnp.moveaxis(yq, -1, -2)
+
+    # ---- synthesis: channels [..., M, K] -> wideband [..., M*K] ----
+
+    def synthesize(self, ci: jnp.ndarray, cq: jnp.ndarray):
+        m = self.m
+        if ci.shape[-2] != m:
+            raise ValueError(f"expected {m} channels, got {ci.shape[-2]}")
+        hp, cmat, smat = self._mats()
+        yi = jnp.moveaxis(ci, -2, -1)  # [..., K, M]
+        yq = jnp.moveaxis(cq, -2, -1)
+        c = jnp.asarray(cmat)
+        s = jnp.asarray(smat)
+        # z_p = sum_m e^{+j 2pi m p / M} y_m  (modulate each channel up)
+        zi = yi @ c - yq @ s
+        zq = yi @ s + yq @ c
+        wi = _phase_filter(zi, hp) / m   # x[kM+p] = (g_p * z_p)[k]
+        wq = _phase_filter(zq, hp) / m
+        return (wi.reshape(wi.shape[:-2] + (-1,)),
+                wq.reshape(wq.shape[:-2] + (-1,)))
