@@ -20,6 +20,11 @@ TPU shaping of the classic maximally-decimated PFB:
   hardware's native tile;
 * I/Q stay split real planes end to end.
 
+Streaming: like every op in this framework, both banks carry explicit
+state (``analyze_stream``/``synthesize_stream`` — the commutator's last
+``M-1`` wideband samples plus the per-phase filter's last ``J-1``
+phase-matrix rows), so chunked streams are bit-identical to one-shot.
+
 Design: prototype lowpass = Kaiser-windowed sinc at cutoff ``1/(2M)`` of
 the wideband rate (reusing :func:`modem_tpu.ops.resample.design_lowpass`).
 Near-perfect reconstruction: per-channel signals that occupy the channel
@@ -55,17 +60,28 @@ def _bank(m: int, taps_per_phase: int, beta: float):
             np.sin(ang).astype(np.float32))
 
 
-def _phase_filter(u: jnp.ndarray, hp: np.ndarray) -> jnp.ndarray:
+def _phase_filter(u: jnp.ndarray, hp: np.ndarray,
+                  hist: jnp.ndarray | None = None) -> jnp.ndarray:
     """``u [..., K, M]`` phase matrix -> causally filtered with per-phase
-    taps ``hp [M, J]`` along K (zero history)."""
+    taps ``hp [M, J]`` along K. ``hist`` is the previous block's last
+    ``J - 1`` phase-matrix rows (zeros if None)."""
     j = hp.shape[1]
-    pad = jnp.zeros(u.shape[:-2] + (j - 1,) + u.shape[-1:], u.dtype)
-    up = jnp.concatenate([pad, u], axis=-2)
+    if hist is None:
+        hist = jnp.zeros(u.shape[:-2] + (j - 1,) + u.shape[-1:], u.dtype)
+    up = jnp.concatenate([hist, u], axis=-2)
     k = u.shape[-2]
     acc = up[..., j - 1:j - 1 + k, :] * jnp.asarray(hp[:, 0])
     for t in range(1, j):
         acc = acc + up[..., j - 1 - t:j - 1 - t + k, :] * jnp.asarray(hp[:, t])
     return acc
+
+
+def _carry_rows(hist: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Next filter history: last ``hist.shape[-2]`` rows of hist+rows
+    (robust to chunks shorter than the history and to zero history)."""
+    h = hist.shape[-2]
+    cat = jnp.concatenate([hist, rows], axis=-2)
+    return cat[..., cat.shape[-2] - h:, :]
 
 
 class Channelizer:
@@ -88,32 +104,71 @@ class Channelizer:
     # ---- analysis: wideband [..., N] -> channels [..., M, N/M] ----
 
     def analyze(self, i: jnp.ndarray, q: jnp.ndarray):
+        """One-shot analysis with zero history."""
+        yi, yq, _ = self.analyze_stream(
+            i, q, self.init_analyze_state(i.shape[:-1], i.dtype))
+        return yi, yq
+
+    def init_analyze_state(self, batch_shape: tuple = (),
+                           dtype=jnp.float32) -> dict:
+        """Zero streaming state: last ``M-1`` wideband samples (the
+        commutator lookback) + last ``J-1`` phase-matrix rows (the
+        per-phase filter history), per I/Q plane."""
+        m, j = self.m, self.taps_per_phase
+        w = jnp.zeros(batch_shape + (m - 1,), dtype)
+        u = jnp.zeros(batch_shape + (j - 1, m), dtype)
+        return {"wi": w, "wq": w, "ui": u, "uq": u}
+
+    def analyze_stream(self, i: jnp.ndarray, q: jnp.ndarray, state: dict):
+        """Streaming analysis: chunked == one-shot, bit-exact. Returns
+        ``(yi, yq, new_state)``; chunk length must divide by M."""
         m = self.m
         n = i.shape[-1]
         if n % m:
             raise ValueError(f"wideband length {n} must divide by M={m}")
         hp, cmat, smat = self._mats()
-        # u_p[k] = x[kM - p]: pad M-1 zeros at the front, reshape, flip
-        pad = jnp.zeros(i.shape[:-1] + (m - 1,), i.dtype)
 
-        def phases(x):
-            xp = jnp.concatenate([pad, x[..., : n - (m - 1)]], axis=-1)
-            # xp[kM + r] = x[kM + r - (M-1)]; phase p = column M-1-p
+        def phases(x, tail):
+            # u[k, r] = x[kM + (M-1-r) - (M-1)]: prepend the carried M-1
+            # samples, drop the same count at the end, reshape, flip
+            xp = jnp.concatenate([tail, x[..., : n - (m - 1)]], axis=-1)
             return xp.reshape(x.shape[:-1] + (n // m, m))[..., ::-1]
 
-        ui, uq = phases(i), phases(q)
-        vi = _phase_filter(ui, hp)   # [..., K, M]
-        vq = _phase_filter(uq, hp)
+        ui = phases(i, state["wi"])
+        uq = phases(q, state["wq"])
+        vi = _phase_filter(ui, hp, state["ui"])   # [..., K, M]
+        vq = _phase_filter(uq, hp, state["uq"])
         c = jnp.asarray(cmat)
         s = jnp.asarray(smat)
         # y_m = sum_p e^{+j 2pi m p / M} v_p
         yi = vi @ c.T - vq @ s.T
         yq = vi @ s.T + vq @ c.T
-        return jnp.moveaxis(yi, -1, -2), jnp.moveaxis(yq, -1, -2)
+        new_state = {
+            "wi": i[..., n - (m - 1):], "wq": q[..., n - (m - 1):],
+            "ui": _carry_rows(state["ui"], ui),
+            "uq": _carry_rows(state["uq"], uq),
+        }
+        return (jnp.moveaxis(yi, -1, -2), jnp.moveaxis(yq, -1, -2),
+                new_state)
 
     # ---- synthesis: channels [..., M, K] -> wideband [..., M*K] ----
 
     def synthesize(self, ci: jnp.ndarray, cq: jnp.ndarray):
+        """One-shot synthesis with zero history."""
+        wi, wq, _ = self.synthesize_stream(
+            ci, cq, self.init_synthesize_state(ci.shape[:-2], ci.dtype))
+        return wi, wq
+
+    def init_synthesize_state(self, batch_shape: tuple = (),
+                              dtype=jnp.float32) -> dict:
+        """Zero streaming state: last ``J-1`` modulated phase rows."""
+        z = jnp.zeros(batch_shape + (self.taps_per_phase - 1, self.m), dtype)
+        return {"zi": z, "zq": z}
+
+    def synthesize_stream(self, ci: jnp.ndarray, cq: jnp.ndarray,
+                          state: dict):
+        """Streaming synthesis: chunked == one-shot, bit-exact. Returns
+        ``(wi, wq, new_state)``."""
         m = self.m
         if ci.shape[-2] != m:
             raise ValueError(f"expected {m} channels, got {ci.shape[-2]}")
@@ -125,7 +180,9 @@ class Channelizer:
         # z_p = sum_m e^{+j 2pi m p / M} y_m  (modulate each channel up)
         zi = yi @ c - yq @ s
         zq = yi @ s + yq @ c
-        wi = _phase_filter(zi, hp) / m   # x[kM+p] = (g_p * z_p)[k]
-        wq = _phase_filter(zq, hp) / m
+        wi = _phase_filter(zi, hp, state["zi"]) / m  # x[kM+p] = (g_p*z_p)[k]
+        wq = _phase_filter(zq, hp, state["zq"]) / m
+        new_state = {"zi": _carry_rows(state["zi"], zi),
+                     "zq": _carry_rows(state["zq"], zq)}
         return (wi.reshape(wi.shape[:-2] + (-1,)),
-                wq.reshape(wq.shape[:-2] + (-1,)))
+                wq.reshape(wq.shape[:-2] + (-1,)), new_state)

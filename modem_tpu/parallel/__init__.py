@@ -20,6 +20,10 @@ compiled over ICI/DCN via ``jax.shard_map`` — no custom transport.
 """
 
 from .acquire import sharded_acquire_fn
+from .channelizer import (
+    sharded_analyze_fn, sharded_synthesize_fn, wideband_rx_fn,
+    wideband_tx_fn,
+)
 from .mesh import make_modem_mesh
 from .collectives import left_halo, right_halo, exclusive_prefix
 from .fir import fir_with_halo, sharded_fir
@@ -34,7 +38,8 @@ __all__ = [
     "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
     "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
     "ShardedPulseChain", "ShardedResampledChain",
-    "sharded_acquire_fn", "sharded_viterbi_fn", "time_sharded_baseband",
+    "sharded_acquire_fn", "sharded_analyze_fn", "sharded_synthesize_fn",
+    "sharded_viterbi_fn", "time_sharded_baseband",
     "sharded_demodulate", "time_sharded_fsk_roundtrip_fn",
-    "viterbi_with_halo",
+    "viterbi_with_halo", "wideband_rx_fn", "wideband_tx_fn",
 ]

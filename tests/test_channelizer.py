@@ -78,6 +78,38 @@ class TestWidebandRoundtrip:
         out = rxr.rx(yi, yq, n_payload)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    def test_streaming_matches_oneshot_bitexact(self):
+        # chunked == one-shot through BOTH banks, including chunks shorter
+        # than the per-phase filter history (K_chunk < J-1)
+        m = 8
+        bank = Channelizer(m, taps_per_phase=6)
+        rng = np.random.default_rng(2)
+        n_k = 48
+        ci = jnp.asarray(rng.normal(size=(m, n_k)).astype(np.float32))
+        cq = jnp.asarray(rng.normal(size=(m, n_k)).astype(np.float32))
+        wi1, wq1 = bank.synthesize(ci, cq)
+        st = bank.init_synthesize_state()
+        outs = []
+        for k0, k1 in ((0, 3), (3, 7), (7, 48)):  # 3 rows < J-1 = 5
+            o_i, o_q, st = bank.synthesize_stream(
+                ci[:, k0:k1], cq[:, k0:k1], st)
+            outs.append((o_i, o_q))
+        wi2 = jnp.concatenate([o[0] for o in outs], axis=-1)
+        wq2 = jnp.concatenate([o[1] for o in outs], axis=-1)
+        np.testing.assert_array_equal(np.asarray(wi1), np.asarray(wi2))
+        np.testing.assert_array_equal(np.asarray(wq1), np.asarray(wq2))
+
+        yi1, yq1 = bank.analyze(wi1, wq1)
+        st = bank.init_analyze_state()
+        outs = []
+        for s0, s1 in ((0, m * 2), (m * 2, m * 5), (m * 5, m * n_k)):
+            o_i, o_q, st = bank.analyze_stream(wi1[s0:s1], wq1[s0:s1], st)
+            outs.append((o_i, o_q))
+        yi2 = jnp.concatenate([o[0] for o in outs], axis=-1)
+        yq2 = jnp.concatenate([o[1] for o in outs], axis=-1)
+        np.testing.assert_array_equal(np.asarray(yi1), np.asarray(yi2))
+        np.testing.assert_array_equal(np.asarray(yq1), np.asarray(yq2))
+
     def test_batched_banks(self):
         # leading batch dims flow through both directions
         m = 4
