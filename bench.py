@@ -16,7 +16,13 @@ Methodology notes (this environment's TPU sits behind an async tunnel whose
 * the checksum must equal the input bit sum (the noiseless chain is exact),
   which is also the 0-BER correctness gate;
 * the first synchronous fetch after compilation pays a large one-off tunnel
-  anomaly (~2 min); it is absorbed before timing.
+  anomaly (~2 min); it is absorbed before timing. Decided and input
+  checksums are fetched through ONE compiled function — every separately
+  compiled synchronous fetch pays that anomaly again;
+* the device adds a fixed ~35 ms dispatch/fetch floor per jitted run, so
+  the block count must be large enough to amortize it (see N_BLOCKS), and
+  inputs are generated on-device (host transfer of GBs through the tunnel
+  takes minutes).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 ``vs_baseline`` relative to the 1e9 samples/s/chip target (BASELINE.md; the
@@ -49,7 +55,11 @@ TARGET = 1e9  # samples/s/chip, BASELINE.md north star
 
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
 N_SYMBOLS = int(os.environ.get("BENCH_SYMBOLS", 4096))
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 16))
+# 512 blocks = 4.3 GSamp per pass. The device shows a fixed ~35 ms
+# dispatch/fetch floor per jitted run (1M and 134M samples cost the same
+# wall time), so small passes measure the floor, not the kernel: 16
+# blocks -> 4.2 GSamp/s, 128 -> 13.1, 512 -> 19.4 (marginal ~23).
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 512))
 #: fused | staged | passband | dmpsk | msk | resampled — the flagship metric
 #: is "fused"; the others produce the BENCH.md rows for the remaining
 #: end-to-end configurations (all bits -> bits with on-device checksums).
@@ -99,20 +109,25 @@ def main():
             out = roundtrip(blk)
             return carry, jnp.sum(out)
         _, sums = jax.lax.scan(body, 0, blocks)
-        return jnp.sum(sums)
+        # fetch decided-bit and input checksums together: every extra
+        # synchronous fetch of a separately-compiled function pays the
+        # tunnel's ~2 min first-sync anomaly once
+        return jnp.stack([jnp.sum(sums), jnp.sum(blocks)])
 
     fn = jax.jit(run)
 
-    rng = np.random.default_rng(0)
-    blocks_np = rng.integers(
-        0, 2, (N_BLOCKS, CHANNELS, N_SYMBOLS * bps)
-    ).astype(np.int32)
-    blocks = jax.device_put(jnp.asarray(blocks_np))
-    jax.block_until_ready(blocks)
-    expect = int(blocks_np.sum())
+    # generate the bit blocks on-device: at the block counts needed to
+    # amortize this device's ~35 ms fixed dispatch/fetch floor (measured:
+    # 1M-sample and 134M-sample runs both cost ~33-38 ms), host transfer
+    # of the input tensor through the tunnel would take minutes
+    blocks = jax.jit(
+        lambda k: jax.random.bernoulli(
+            k, 0.5, (N_BLOCKS, CHANNELS, N_SYMBOLS * bps)
+        ).astype(jnp.int32)
+    )(jax.random.key(0))
 
-    fn(blocks).block_until_ready()  # compile
-    checksum = int(fn(blocks))      # absorb the first-sync tunnel anomaly
+    vals = np.asarray(fn(blocks))   # compile + first-sync tunnel anomaly
+    checksum, expect = int(vals[0]), int(vals[1])
     if checksum != expect:
         print(json.dumps({"metric": METRIC,
                           "value": 0.0, "unit": "samples/s",
@@ -124,9 +139,9 @@ def main():
     rates_seen = []
     for _ in range(5):  # >= 5 passes: this device varies ~±15% run-to-run
         t0 = time.perf_counter()
-        checksum = int(fn(blocks))
+        vals = np.asarray(fn(blocks))
         dt = time.perf_counter() - t0
-        if checksum == expect:
+        if int(vals[0]) == expect:
             rates_seen.append(samples / dt)
     best = max(rates_seen, default=0.0)
     spread = ((max(rates_seen) - min(rates_seen)) / min(rates_seen)

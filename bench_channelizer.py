@@ -20,7 +20,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
 import jax
 
 if os.environ.get("BENCH_PLATFORM"):
@@ -31,7 +30,11 @@ from modem_tpu.ops.channelizer import Channelizer
 
 M = int(os.environ.get("BENCH_CHANNELS", 256))
 K = int(os.environ.get("BENCH_ROWS", 4096))       # channel-rate samples/blk
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 8))
+# this device has a ~35 ms fixed dispatch/fetch floor per jitted run
+# (measured: B=1..32 blocks of 1M samples all cost ~34-38 ms); the block
+# count must be large enough to amortize it — at 256 blocks the marginal
+# rate (~6.8 GSamp/s) dominates and run-to-run spread drops to ~1%.
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 256))
 PASSES = 5
 
 
@@ -49,9 +52,11 @@ def _time(fn, *args):
 
 def main():
     bank = Channelizer(M)
-    rng = np.random.default_rng(0)
-    wi = jnp.asarray(rng.normal(size=(N_BLOCKS, M * K)), jnp.float32)
-    wq = jnp.asarray(rng.normal(size=(N_BLOCKS, M * K)), jnp.float32)
+    # generate inputs on-device (multi-GB host transfers through the axon
+    # tunnel would dominate setup time)
+    kx = jax.random.split(jax.random.key(0), 4)
+    wi = jax.random.normal(kx[0], (N_BLOCKS, M * K), jnp.float32)
+    wq = jax.random.normal(kx[1], (N_BLOCKS, M * K), jnp.float32)
     jax.block_until_ready((wi, wq))
 
     @jax.jit
@@ -62,8 +67,8 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), (wi, wq))
         return acc
 
-    ci = jnp.asarray(rng.normal(size=(N_BLOCKS, M, K)), jnp.float32)
-    cq = jnp.asarray(rng.normal(size=(N_BLOCKS, M, K)), jnp.float32)
+    ci = jax.random.normal(kx[2], (N_BLOCKS, M, K), jnp.float32)
+    cq = jax.random.normal(kx[3], (N_BLOCKS, M, K), jnp.float32)
     jax.block_until_ready((ci, cq))
 
     @jax.jit
