@@ -21,6 +21,7 @@ from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
 from .ops.channelizer import Channelizer
+from .wideband import WidebandModem
 
 __all__ = [
     "AcquiringReceiver", "Channelizer", "DcqpskChain", "Demodulator",
@@ -28,7 +29,8 @@ __all__ = [
     "FramedLink", "Freq", "FskChain", "Modulator", "MskChain",
     "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
-    "StreamingFusedChain", "TxState", "make_scheme", "qpsk_reference_chain",
+    "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
+    "qpsk_reference_chain",
 ]
 
 __version__ = "0.1.0"
