@@ -16,9 +16,13 @@ import jax.numpy as jnp
 from modem_tpu import Demodulator
 
 dem = Demodulator(carrier_hz=2000, sample_rate=10000)
-C, N, B = 256, 32768, 8
+# 64 blocks = 537M samples/pass: amortizes the ~35 ms dispatch/fetch
+# floor (8 blocks measured at ~48 ms/pass — mostly floor); inputs are
+# generated on-device (a 2 GB host transfer through the tunnel is minutes)
+C, N, B = 256, 32768, int(os.environ.get("BENCH_BLOCKS", 64))
 rng = np.random.default_rng(0)
-x = jax.device_put(jnp.asarray(rng.normal(size=(B, C, N)).astype(np.float32)))
+x = jax.jit(lambda k: jax.random.normal(k, (B, C, N), jnp.float32))(
+    jax.random.key(0))
 st = dem.init_state((C,))
 st = dataclasses.replace(st, phase_offset=jnp.asarray(rng.normal(size=C).astype(np.float32)))
 

@@ -36,7 +36,9 @@ from modem_tpu.resampled import ResampledChain
 RATES = Rates(1250, 10000)
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
 N_SYMBOLS = int(os.environ.get("BENCH_SYMBOLS", 4096))
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 16))
+# 128 blocks ≈ 1.07 GSamp per pass: enough to amortize the ~35 ms fixed
+# dispatch/fetch floor this device shows per jitted run (see BENCH.md)
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 128))
 PASSES = 5
 
 
@@ -67,18 +69,21 @@ def bench(name, bps, roundtrip, n_symbols):
             out = roundtrip(blk)
             return carry + jnp.sum(out), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), blocks)
-        return acc
+        # decided + input checksums in ONE fetch (each extra synchronous
+        # fetch of a separately-compiled fn pays the tunnel anomaly)
+        return jnp.stack([acc, jnp.sum(blocks)])
 
     fn = jax.jit(run)
-    rng = np.random.default_rng(0)
-    blocks_np = rng.integers(
-        0, 2, (N_BLOCKS, CHANNELS, n_symbols * bps)).astype(np.int32)
-    blocks = jax.device_put(jnp.asarray(blocks_np))
-    jax.block_until_ready(blocks)
-    expect = int(blocks_np.sum())
+    # on-device bit generation: block counts big enough to amortize the
+    # ~35 ms fixed dispatch/fetch floor would take minutes to transfer
+    blocks = jax.jit(
+        lambda k: jax.random.bernoulli(
+            k, 0.5, (N_BLOCKS, CHANNELS, n_symbols * bps)
+        ).astype(jnp.int32)
+    )(jax.random.key(0))
     try:
-        fn(blocks).block_until_ready()
-        got = int(fn(blocks))
+        vals = np.asarray(fn(blocks))  # compile + first-sync anomaly
+        got, expect = int(vals[0]), int(vals[1])
         assert got == expect, f"checksum {got} != {expect} (bit errors)"
     except Exception as e:  # noqa: BLE001
         print(f"{name:42s}  FAILED: {type(e).__name__}: {str(e)[:100]}",
@@ -88,7 +93,7 @@ def bench(name, bps, roundtrip, n_symbols):
     times = []
     for _ in range(PASSES):
         t0 = time.perf_counter()
-        got = int(fn(blocks))
+        got = int(np.asarray(fn(blocks))[0])
         times.append(time.perf_counter() - t0)
     assert got == expect
     best = min(times)
