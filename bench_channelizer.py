@@ -79,12 +79,25 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), (ci, cq))
         return acc
 
+    bank16 = Channelizer(M, dft_dtype=jnp.bfloat16)
+
+    @jax.jit
+    def run_analyze_bf16(wi, wq):
+        def body(acc, xs):
+            yi, yq = bank16.analyze(*xs)
+            return acc + jnp.sum(yi[:, -1]) + jnp.sum(yq[:, -1]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), (wi, wq))
+        return acc
+
     n = N_BLOCKS * M * K
     b, s = _time(run_analyze, wi, wq)
-    print(f"analysis  bank M={M}: {n / b / 1e9:6.2f} GSamp/s wideband "
+    print(f"analysis  bank M={M}:      {n / b / 1e9:6.2f} GSamp/s wideband "
+          f"(spread {s * 100:.0f}%)")
+    b, s = _time(run_analyze_bf16, wi, wq)
+    print(f"analysis  bank M={M} bf16: {n / b / 1e9:6.2f} GSamp/s wideband "
           f"(spread {s * 100:.0f}%)")
     b, s = _time(run_synthesize, ci, cq)
-    print(f"synthesis bank M={M}: {n / b / 1e9:6.2f} GSamp/s wideband "
+    print(f"synthesis bank M={M}:      {n / b / 1e9:6.2f} GSamp/s wideband "
           f"(spread {s * 100:.0f}%)")
 
 

@@ -91,15 +91,36 @@ class Channelizer:
     (``m > M/2`` ≡ negative frequencies). Streams are split-plane I/Q.
     """
 
-    def __init__(self, m: int, taps_per_phase: int = 12, beta: float = 9.0):
+    def __init__(self, m: int, taps_per_phase: int = 12, beta: float = 9.0,
+                 dft_dtype=jnp.float32):
+        """``dft_dtype=jnp.bfloat16`` runs the DFT matmuls in bf16 with
+        f32 accumulation — ~6x the MXU rate on this hardware — at ~40 dB
+        image/quantization floor (bf16's 8-bit mantissa), which is ample
+        margin for the hard-decision chains but below what the exact
+        tone-suppression tests ask of the f32 default."""
         if m < 2:
             raise ValueError("need at least 2 channels")
         self.m = int(m)
         self.taps_per_phase = int(taps_per_phase)
         self.beta = float(beta)
+        self.dft_dtype = dft_dtype
 
     def _mats(self):
         return _bank(self.m, self.taps_per_phase, self.beta)
+
+    def _dft(self, a: jnp.ndarray, b: jnp.ndarray):
+        """(a @ dft_c, a @ dft_s, b @ dft_c, b @ dft_s) in ``dft_dtype``
+        with f32 accumulation. DFT matrices transposed are themselves
+        (cos symmetric, sin used sign-explicitly by callers)."""
+        _, cmat, smat = self._mats()
+        d = self.dft_dtype
+        c = jnp.asarray(cmat, d)
+        s = jnp.asarray(smat, d)
+        a = a.astype(d)
+        b = b.astype(d)
+        dot = lambda x, w: jnp.dot(  # noqa: E731
+            x, w, preferred_element_type=jnp.float32)
+        return dot(a, c), dot(a, s), dot(b, c), dot(b, s)
 
     # ---- analysis: wideband [..., N] -> channels [..., M, N/M] ----
 
@@ -126,7 +147,7 @@ class Channelizer:
         n = i.shape[-1]
         if n % m:
             raise ValueError(f"wideband length {n} must divide by M={m}")
-        hp, cmat, smat = self._mats()
+        hp = self._mats()[0]
 
         def phases(x, tail):
             # u[k, r] = x[kM + (M-1-r) - (M-1)]: prepend the carried M-1
@@ -138,11 +159,11 @@ class Channelizer:
         uq = phases(q, state["wq"])
         vi = _phase_filter(ui, hp, state["ui"])   # [..., K, M]
         vq = _phase_filter(uq, hp, state["uq"])
-        c = jnp.asarray(cmat)
-        s = jnp.asarray(smat)
-        # y_m = sum_p e^{+j 2pi m p / M} v_p
-        yi = vi @ c.T - vq @ s.T
-        yq = vi @ s.T + vq @ c.T
+        # y_m = sum_p e^{+j 2pi m p / M} v_p  (the DFT matrices are
+        # symmetric, so no transposes)
+        ic, is_, qc, qs = self._dft(vi, vq)
+        yi = ic - qs
+        yq = is_ + qc
         new_state = {
             "wi": i[..., n - (m - 1):], "wq": q[..., n - (m - 1):],
             "ui": _carry_rows(state["ui"], ui),
@@ -172,14 +193,13 @@ class Channelizer:
         m = self.m
         if ci.shape[-2] != m:
             raise ValueError(f"expected {m} channels, got {ci.shape[-2]}")
-        hp, cmat, smat = self._mats()
+        hp = self._mats()[0]
         yi = jnp.moveaxis(ci, -2, -1)  # [..., K, M]
         yq = jnp.moveaxis(cq, -2, -1)
-        c = jnp.asarray(cmat)
-        s = jnp.asarray(smat)
         # z_p = sum_m e^{+j 2pi m p / M} y_m  (modulate each channel up)
-        zi = yi @ c - yq @ s
-        zq = yi @ s + yq @ c
+        ic, is_, qc, qs = self._dft(yi, yq)
+        zi = ic - qs
+        zq = is_ + qc
         wi = _phase_filter(zi, hp, state["zi"]) / m  # x[kM+p] = (g_p*z_p)[k]
         wq = _phase_filter(zq, hp, state["zq"]) / m
         new_state = {"zi": _carry_rows(state["zi"], zi),

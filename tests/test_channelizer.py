@@ -78,6 +78,32 @@ class TestWidebandRoundtrip:
         out = rxr.rx(yi, yq, n_payload)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    def test_bf16_dft_exact_decisions(self):
+        # bf16 DFT (6x MXU rate): ~40 dB quantization floor is ample for
+        # hard decisions — the full wideband story still recovers exact
+        # bits, and the waveform stays within bf16 tolerance of f32
+        m = 8
+        n_payload = 128
+        chain = qpsk_reference_chain(RATES)
+        rxr = AcquiringReceiver(chain, PRE, max_lag=200)
+        rng = np.random.default_rng(5)
+        bits = jnp.asarray(
+            rng.integers(0, 2, (m, n_payload * 2)), jnp.int32)
+        ci, cq = rxr.tx_burst(bits)
+        pad = jnp.zeros((m, 256), ci.dtype)
+        ci = jnp.concatenate([ci, pad], axis=-1)
+        cq = jnp.concatenate([cq, pad], axis=-1)
+        bank16 = Channelizer(m, dft_dtype=jnp.bfloat16)
+        bank32 = Channelizer(m)
+        wi, wq = bank16.synthesize(ci, cq)
+        wi32, _ = bank32.synthesize(ci, cq)
+        assert wi.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(wi), np.asarray(wi32),
+                                   atol=0.1)
+        yi, yq = bank16.analyze(wi, wq)
+        out = rxr.rx(yi, yq, n_payload)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
     def test_streaming_matches_oneshot_bitexact(self):
         # chunked == one-shot through BOTH banks, including chunks shorter
         # than the per-phase filter history (K_chunk < J-1)
