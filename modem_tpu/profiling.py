@@ -64,6 +64,57 @@ class Measurement:
         return "  ".join(parts)
 
 
+@dataclasses.dataclass(frozen=True)
+class MarginalMeasurement:
+    """Floor-free throughput: rate from the SLOPE between two work scales.
+
+    This device adds a fixed dispatch/fetch floor (~31 ms measured) to
+    every jitted invocation, so a single-size measurement of anything
+    cheaper than several floors reports the floor, not the op (this is
+    how round 1 under-reported every number 3-10x — see BENCH.md).
+    ``marginal_samples_per_s`` cancels the floor by construction;
+    ``floor_seconds`` is the extrapolated zero-work intercept.
+    """
+
+    marginal_samples_per_s: float
+    floor_seconds: float
+    small: Measurement
+    large: Measurement
+
+    def summary(self) -> str:
+        return (f"{self.marginal_samples_per_s / 1e9:.3f} Gsamp/s marginal"
+                f"  (floor {self.floor_seconds * 1e3:.1f} ms; small/large "
+                f"spreads {self.small.spread * 100:.0f}%/"
+                f"{self.large.spread * 100:.0f}%)")
+
+
+def measure_marginal(
+    fn,
+    args_small: tuple,
+    args_large: tuple,
+    samples_per_call: int,
+    passes: int = 5,
+) -> MarginalMeasurement:
+    """Floor-free :func:`measure`: time ``fn`` at two repetition scales
+    (``args_small``/``args_large``: same per-rep shapes, different leading
+    rep counts) and report the marginal rate between them.
+    """
+    r1 = jax.tree_util.tree_leaves(args_small)[0].shape[0]
+    r2 = jax.tree_util.tree_leaves(args_large)[0].shape[0]
+    if r2 <= r1:
+        raise ValueError("args_large must have more reps than args_small")
+    m1 = measure(fn, args_small, samples_per_call, passes=passes)
+    m2 = measure(fn, args_large, samples_per_call, passes=passes)
+    t1 = m1.seconds_per_call * r1  # best total wall per pass
+    t2 = m2.seconds_per_call * r2
+    slope = (r2 - r1) * samples_per_call / max(t2 - t1, 1e-12)
+    floor = max(t1 - r1 * samples_per_call / slope, 0.0)
+    return MarginalMeasurement(
+        marginal_samples_per_s=slope, floor_seconds=floor,
+        small=m1, large=m2,
+    )
+
+
 def measure(
     fn,
     args_per_rep: tuple,

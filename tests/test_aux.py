@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from modem_tpu import Modulator, Rates, make_scheme
 from modem_tpu.chain import DifferentialChain
 from modem_tpu.checkpoint import load_state, save_state
-from modem_tpu.profiling import measure
+from modem_tpu.profiling import measure, measure_marginal
 
 RATES = Rates(baud_rate=1250, sample_rate=10000)
 
@@ -82,3 +82,17 @@ class TestMeasure:
         assert m.seconds_per_call > 0
         assert m.samples_per_s > 0
         assert "Gsamp/s" in m.summary()
+
+    def test_measure_marginal(self):
+        # slope between two rep scales cancels any fixed per-call floor
+        xs = jnp.ones((2, 64, 512), jnp.float32)
+        xl = jnp.ones((16, 64, 512), jnp.float32)
+        mm = measure_marginal(
+            lambda b: jnp.tanh(b) @ jnp.ones((512, 512), jnp.float32),
+            (xs,), (xl,), samples_per_call=64 * 512)
+        assert mm.marginal_samples_per_s > 0
+        assert mm.floor_seconds >= 0.0
+        assert "marginal" in mm.summary()
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            measure_marginal(lambda b: b, (xl,), (xs,), 1)
