@@ -20,6 +20,7 @@ from .chain import (
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
+from .ofdm import OfdmModem
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
 
@@ -27,7 +28,7 @@ __all__ = [
     "AcquiringReceiver", "Channelizer", "DcqpskChain", "Demodulator",
     "DifferentialChain",
     "FramedLink", "Freq", "FskChain", "Modulator", "MskChain",
-    "OqpskChain",
+    "OfdmModem", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
     "qpsk_reference_chain",

@@ -1,0 +1,462 @@
+"""OFDM modem: multicarrier TX/RX as MXU matmuls over real I/Q planes.
+
+New capability (the reference is strictly single-carrier — its 13 schemes all
+ride one NCO carrier, `/root/reference/src/modem/digital/mod.rs:1-18`; a
+modern deployment of the same constellation math is multicarrier). This
+module reuses the framework's constellation layer (scheme LUTs,
+:func:`modem_tpu.ops.slicer.lut_slice`, :func:`modem_tpu.ops.llr.lut_llr`)
+and puts an OFDM PHY around it.
+
+TPU shaping — the same playbook as the channelizer
+(:mod:`modem_tpu.ops.channelizer`):
+
+* **No FFT op, no complex dtype, no scatter.** The IDFT/DFT run as *reduced*
+  real matmuls: subcarrier-to-bin mapping is folded into the DFT matrix by
+  keeping only the used bins' rows, so TX is ``[S, D] @ [D, N]`` and RX is
+  ``[S, N] @ [N, U]`` — dense MXU work with static shapes (at N=256 the
+  matrices are exactly the hardware tile; for the classic N=64 grid XLA
+  tiles them fine). The pilot overlay is a rank-1 add of a precomputed
+  time-domain row, not a scatter.
+* **Cyclic prefix = slicing + reshape.** Symbols are processed as an
+  ``[..., S, N]`` matrix; serialization to/from the sample stream is one
+  concat + reshape.
+* **Acquisition is prefix sums + one static-gather correlation**, exactly
+  like :func:`modem_tpu.sync.frame_sync`: the Schmidl&Cox metric uses the
+  STF's half-symbol periodicity (cumulative sums, no loops), its angle gives
+  the fractional CFO closed-form, and fine timing is a ``[max_lag, N]``
+  correlation against the known LTF — all batched over channels.
+* **Equalization is elementwise.** CP longer than the channel's delay
+  spread turns multipath into one complex gain per bin; LS estimation from
+  the LTF pair and the one-tap equalizer are a handful of elementwise ops,
+  with pilot-based common-phase/gain tracking per symbol (the OFDM analog
+  of :func:`modem_tpu.sync.dd_phase_track`).
+
+Frame layout (every symbol ``n_fft + cp`` samples)::
+
+    [ STF ] [ LTF x n_ltf ] [ payload symbol ] ... [ payload symbol ]
+
+The STF occupies every 4th bin, so its time waveform has period ``n_fft/4``
+— the CP extends the periodic region to the full symbol, giving the S&C
+metric a wide stable plateau and the CFO estimator range ±2 subcarriers.
+LTFs are a known BPSK loading of all used bins (data + pilots), repeated
+``n_ltf`` times and averaged for the LS channel estimate.
+
+Like every block in this framework, frames are the streaming quantum: the
+modem is stateless across frames, so chunked operation is trivially
+bit-exact (one frame per chunk) and the acquisition path tolerates unknown
+inter-frame gaps.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .ops.llr import lut_llr
+from .ops.slicer import lut_slice
+from .utils.bits import pack_bits, unpack_symbols
+
+
+def _angle(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arctan2(im, re)
+
+
+@lru_cache(maxsize=16)
+def _dft_rows(n_fft: int, bins: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin rows of the N-point DFT for the given bins: ``[B, N]`` each,
+    ``C[b, n] = cos(2*pi*bins[b]*n/N)`` (bins may be negative)."""
+    k = np.asarray(bins, np.int64)[:, None]
+    n = np.arange(n_fft, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((k * n) % n_fft) / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _default_grid(n_fft: int) -> tuple[tuple, tuple]:
+    """(data_bins, pilot_bins) for an 802.11a-style loading: 52 used bins
+    ±(1..26) with pilots at ±7, ±21, scaled to other FFT sizes."""
+    half = (n_fft * 26) // 64
+    pil = ((n_fft * 7) // 64, (n_fft * 21) // 64)
+    used = [b for b in range(-half, half + 1) if b != 0]
+    pilots = tuple(sorted((-pil[1], -pil[0], pil[0], pil[1])))
+    data = tuple(b for b in used if b not in pilots)
+    return data, pilots
+
+
+class OfdmModem:
+    """OFDM PHY around any constellation scheme of this framework.
+
+    Parameters
+    ----------
+    scheme: a LUT scheme from :func:`modem_tpu.models.make_scheme` (PSK/QAM/
+        APSK/ASK families — anything with a ``.lut``).
+    n_fft, cp: FFT size and cyclic-prefix length (``cp`` must exceed the
+        channel's delay spread for the one-tap equalizer to be exact).
+    data_bins, pilot_bins: signed bin indices; default is the classic
+        52-used-bin grid (48 data + 4 pilots at N=64, scaled otherwise).
+    n_ltf: number of repeated long-training symbols averaged into the LS
+        channel estimate.
+    """
+
+    def __init__(self, scheme, n_fft: int = 64, cp: int = 16,
+                 data_bins: tuple | None = None,
+                 pilot_bins: tuple | None = None,
+                 n_ltf: int = 2, seed: int = 2016):
+        if not hasattr(scheme, "lut"):
+            raise ValueError("OFDM needs a constellation (LUT) scheme")
+        if n_fft % 4:
+            raise ValueError("n_fft must divide by 4 (STF periodicity)")
+        if data_bins is None and pilot_bins is None:
+            data_bins, pilot_bins = _default_grid(n_fft)
+        data_bins = tuple(int(b) for b in data_bins)
+        pilot_bins = tuple(int(b) for b in (pilot_bins or ()))
+        if set(data_bins) & set(pilot_bins):
+            raise ValueError("data and pilot bins overlap")
+        for b in data_bins + pilot_bins:
+            if not -n_fft // 2 < b < n_fft // 2 or b == 0:
+                raise ValueError(f"bin {b} outside (-{n_fft//2}, {n_fft//2})"
+                                 " or DC")
+        self.scheme = scheme
+        self.lut = np.asarray(scheme.lut, np.float32)
+        self.bits_per_symbol = scheme.bits_per_symbol
+        self.n_fft = int(n_fft)
+        self.cp = int(cp)
+        self.sym_len = self.n_fft + self.cp
+        self.data_bins = data_bins
+        self.pilot_bins = pilot_bins
+        self.used_bins = tuple(sorted(data_bins + pilot_bins))
+        self.n_data = len(data_bins)
+        self.n_ltf = int(n_ltf)
+        self.bits_per_sym = self.n_data * self.bits_per_symbol
+
+        rng = np.random.default_rng(seed)
+        # Pilot loading: fixed BPSK per pilot bin, polarity flipped per
+        # OFDM symbol by a fixed PN sequence (breaks pilot-tone lines).
+        self._pilot_vals = (2.0 * rng.integers(0, 2, len(pilot_bins))
+                            - 1.0).astype(np.float32)
+        self._polarity_pn = (2.0 * rng.integers(0, 2, 4096)
+                             - 1.0).astype(np.float32)
+        # LTF loading: BPSK on every used bin.
+        self._ltf_vals = (2.0 * rng.integers(0, 2, len(self.used_bins))
+                          - 1.0).astype(np.float32)
+        # STF loading: QPSK on every 4th bin (|bin| = 4, 8, ... within the
+        # used span) -> time period n_fft/4; boosted to match payload power.
+        stf_bins = tuple(b for b in self.used_bins if b % 4 == 0)
+        if not stf_bins:
+            raise ValueError("no bins divisible by 4 for the STF")
+        ph = rng.uniform(0.0, 2.0 * np.pi, len(stf_bins))
+        boost = np.sqrt(len(self.used_bins) / len(stf_bins))
+        self._stf_bins = stf_bins
+        self._stf_i = (boost * np.cos(ph)).astype(np.float32)
+        self._stf_q = (boost * np.sin(ph)).astype(np.float32)
+
+        n = self.n_fft
+        scale = np.float32(1.0 / np.sqrt(n))
+        cd, sd = _dft_rows(n, data_bins)
+        self._tx_c = (cd * scale).astype(np.float32)   # [D, N]
+        self._tx_s = (sd * scale).astype(np.float32)
+        cu, su = _dft_rows(n, self.used_bins)
+        self._rx_c = (cu.T * scale).astype(np.float32)  # [N, U]
+        self._rx_s = (su.T * scale).astype(np.float32)
+        # Precomputed time-domain overlays/preambles (numpy, host-side).
+        cp_, sp_ = _dft_rows(n, pilot_bins) if pilot_bins else (
+            np.zeros((0, n), np.float32), np.zeros((0, n), np.float32))
+        self._pilot_ti = scale * (self._pilot_vals @ cp_)
+        self._pilot_tq = scale * (self._pilot_vals @ sp_)
+        self._ltf_ti = scale * (self._ltf_vals @ cu)
+        self._ltf_tq = scale * (self._ltf_vals @ su)
+        cs_, ss_ = _dft_rows(n, stf_bins)
+        self._stf_ti = scale * (self._stf_i @ cs_ - self._stf_q @ ss_)
+        self._stf_tq = scale * (self._stf_i @ ss_ + self._stf_q @ cs_)
+        # Index of each data/pilot bin within used_bins (static permutes).
+        self._data_in_used = np.asarray(
+            [self.used_bins.index(b) for b in data_bins], np.int64)
+        self._pilot_in_used = np.asarray(
+            [self.used_bins.index(b) for b in pilot_bins], np.int64)
+
+    # ------------------------------------------------------------------
+    # Frame geometry
+    # ------------------------------------------------------------------
+
+    @property
+    def preamble_len(self) -> int:
+        """Samples before the first payload symbol in a full frame."""
+        return (1 + self.n_ltf) * self.sym_len
+
+    def frame_len(self, n_symbols: int) -> int:
+        return self.preamble_len + n_symbols * self.sym_len
+
+    def bits_per_frame(self, n_symbols: int) -> int:
+        return n_symbols * self.bits_per_sym
+
+    def _polarity(self, n_symbols: int) -> np.ndarray:
+        pn = self._polarity_pn
+        if n_symbols > pn.size:
+            pn = np.tile(pn, -(-n_symbols // pn.size))
+        return pn[:n_symbols]
+
+    # ------------------------------------------------------------------
+    # TX
+    # ------------------------------------------------------------------
+
+    def map_bits(self, bits: jnp.ndarray):
+        """``[..., S*bits_per_sym]`` bits -> data-bin I/Q ``[..., S, D]``."""
+        if bits.shape[-1] % self.bits_per_sym:
+            raise ValueError(
+                f"bit count {bits.shape[-1]} must divide by "
+                f"{self.bits_per_sym} (= {self.n_data} data bins x "
+                f"{self.bits_per_symbol} bits)")
+        syms = pack_bits(bits, self.bits_per_symbol)
+        s = syms.shape[-1] // self.n_data
+        syms = syms.reshape(syms.shape[:-1] + (s, self.n_data))
+        iq = jnp.asarray(self.lut)[syms]  # [..., S, D, 2]
+        return iq[..., 0], iq[..., 1]
+
+    def _payload_td(self, di: jnp.ndarray, dq: jnp.ndarray):
+        """Data-bin I/Q ``[..., S, D]`` -> time-domain symbol matrix
+        ``[..., S, N]`` (pilot overlay added, no CP yet)."""
+        tc = jnp.asarray(self._tx_c)
+        ts = jnp.asarray(self._tx_s)
+        xi = di @ tc - dq @ ts
+        xq = di @ ts + dq @ tc
+        if self.pilot_bins:
+            pol = jnp.asarray(self._polarity(di.shape[-2]))[..., :, None]
+            xi = xi + pol * jnp.asarray(self._pilot_ti)
+            xq = xq + pol * jnp.asarray(self._pilot_tq)
+        return xi, xq
+
+    @staticmethod
+    def _add_cp(xi: jnp.ndarray, xq: jnp.ndarray, cp: int):
+        """``[..., S, N]`` -> serialized ``[..., S*(N+cp)]``."""
+        def one(x):
+            xcp = jnp.concatenate([x[..., -cp:], x], axis=-1)
+            return xcp.reshape(xcp.shape[:-2] + (-1,))
+        return one(xi), one(xq)
+
+    def tx_payload(self, bits: jnp.ndarray):
+        """Bits -> payload sample stream (no preamble), ``[..., S*sym_len]``."""
+        di, dq = self.map_bits(bits)
+        xi, xq = self._payload_td(di, dq)
+        return self._add_cp(xi, xq, self.cp)
+
+    def tx_frame(self, bits: jnp.ndarray):
+        """Bits -> full frame: STF + n_ltf x LTF + payload."""
+        pi, pq = self.tx_payload(bits)
+        head_i = np.concatenate(
+            [np.concatenate([t[-self.cp:], t])
+             for t in [self._stf_ti] + [self._ltf_ti] * self.n_ltf])
+        head_q = np.concatenate(
+            [np.concatenate([t[-self.cp:], t])
+             for t in [self._stf_tq] + [self._ltf_tq] * self.n_ltf])
+        hi = jnp.broadcast_to(jnp.asarray(head_i),
+                              pi.shape[:-1] + (head_i.size,))
+        hq = jnp.broadcast_to(jnp.asarray(head_q),
+                              pq.shape[:-1] + (head_q.size,))
+        return (jnp.concatenate([hi, pi], axis=-1),
+                jnp.concatenate([hq, pq], axis=-1))
+
+    # ------------------------------------------------------------------
+    # RX (frame-aligned)
+    # ------------------------------------------------------------------
+
+    def _strip_cp(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int):
+        """Aligned sample stream -> ``[..., S, N]`` FFT windows."""
+        need = n_symbols * self.sym_len
+        if i.shape[-1] < need:
+            raise ValueError(f"need {need} samples, got {i.shape[-1]}")
+        def one(x):
+            x = x[..., :need].reshape(x.shape[:-1] + (n_symbols,
+                                                      self.sym_len))
+            return x[..., self.cp:]
+        return one(i), one(q)
+
+    def _dft_used(self, xi: jnp.ndarray, xq: jnp.ndarray):
+        """``[..., N]`` time windows -> used-bin spectra ``[..., U]``."""
+        rc = jnp.asarray(self._rx_c)
+        rs = jnp.asarray(self._rx_s)
+        yi = xi @ rc + xq @ rs
+        yq = xq @ rc - xi @ rs
+        return yi, yq
+
+    def estimate_channel(self, i: jnp.ndarray, q: jnp.ndarray):
+        """LS channel estimate from the aligned LTF section.
+
+        ``i, q [..., n_ltf*sym_len]`` starting at LTF symbol 0's CP.
+        Returns per-used-bin ``(hi, hq) [..., U]`` (averaged over the
+        repetitions; the LTF loading is BPSK so conj(L)/|L|^2 == L).
+        """
+        xi, xq = self._strip_cp(i, q, self.n_ltf)
+        yi, yq = self._dft_used(xi, xq)
+        li = jnp.asarray(self._ltf_vals)
+        return jnp.mean(yi * li, axis=-2), jnp.mean(yq * li, axis=-2)
+
+    def _equalize(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
+                  h=None):
+        """Aligned payload stream -> equalized data-bin decision points
+        ``(di, dq, m2)`` with ``m2 [..., D]`` = |H|^2 at the data bins
+        (the LLR weighting). ``h``: (hi, hq) from
+        :meth:`estimate_channel`; None = ideal channel."""
+        xi, xq = self._strip_cp(i, q, n_symbols)
+        yi, yq = self._dft_used(xi, xq)  # [..., S, U]
+        if h is None:
+            hi = jnp.ones(yi.shape[:-2] + (len(self.used_bins),), yi.dtype)
+            hq = jnp.zeros_like(hi)
+        else:
+            hi, hq = h
+        hi = hi[..., None, :]
+        hq = hq[..., None, :]
+        if self.pilot_bins:
+            # Common phase/gain per symbol from the pilots: c_s = sum_p
+            # Y[s,p] conj(H_p P_p pol_s) / sum_p |H_p P_p|^2, then divide
+            # the equalized symbols by c_s (residual CFO -> CPE tracking).
+            pidx = self._pilot_in_used
+            pv = jnp.asarray(self._pilot_vals)
+            pol = jnp.asarray(self._polarity(n_symbols))[..., :, None]
+            ri = hi[..., pidx] * pv * pol
+            rq = hq[..., pidx] * pv * pol
+            ypi, ypq = yi[..., pidx], yq[..., pidx]
+            ci = jnp.sum(ypi * ri + ypq * rq, axis=-1, keepdims=True)
+            cq = jnp.sum(ypq * ri - ypi * rq, axis=-1, keepdims=True)
+            e = jnp.sum(ri * ri + rq * rq, axis=-1, keepdims=True)
+            m2c = jnp.maximum(ci * ci + cq * cq, 1e-24)
+            # divide by (c/e): y *= conj(c) * e / |c|^2
+            yi, yq = ((yi * ci + yq * cq) * e / m2c,
+                      (yq * ci - yi * cq) * e / m2c)
+        didx = self._data_in_used
+        hdi, hdq = hi[..., didx], hq[..., didx]
+        m2 = jnp.maximum(hdi * hdi + hdq * hdq, 1e-24)
+        ydi, ydq = yi[..., didx], yq[..., didx]
+        return ((ydi * hdi + ydq * hdq) / m2,
+                (ydq * hdi - ydi * hdq) / m2, m2[..., 0, :])
+
+    def rx_payload(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
+                   h=None) -> jnp.ndarray:
+        """Aligned payload stream -> hard bits ``[..., S*bits_per_sym]``."""
+        di, dq, _ = self._equalize(i, q, n_symbols, h)
+        syms = lut_slice(di, dq, self.lut)
+        bits = unpack_symbols(syms, self.bits_per_symbol)
+        return bits.reshape(bits.shape[:-2] + (-1,))
+
+    def rx_soft_payload(self, i: jnp.ndarray, q: jnp.ndarray,
+                        n_symbols: int, h=None,
+                        noise_var: float = 1.0) -> jnp.ndarray:
+        """Aligned payload stream -> max-log LLRs, channel-weighted.
+
+        After the one-tap equalizer the per-bin noise variance is
+        ``noise_var / |H_k|^2``, so each bin's LLRs scale by ``|H_k|^2``
+        — weak (faded) bins contribute proportionally weak beliefs, which
+        is what downstream soft FEC (:mod:`modem_tpu.fec`) expects.
+        """
+        di, dq, m2 = self._equalize(i, q, n_symbols, h)
+        llr = lut_llr(di, dq, self.lut, self.bits_per_symbol, 1.0)
+        w = jnp.repeat(m2 / jnp.float32(noise_var), self.bits_per_symbol,
+                       axis=-1, total_repeat_length=self.bits_per_sym)
+        llr = llr * w[..., None, :]
+        return llr.reshape(llr.shape[:-2] + (-1,))
+
+    def rx_frame(self, i: jnp.ndarray, q: jnp.ndarray,
+                 n_symbols: int) -> jnp.ndarray:
+        """Frame-aligned stream (at the STF's first sample) -> bits."""
+        off = self.sym_len  # skip STF
+        nl = self.n_ltf * self.sym_len
+        h = self.estimate_channel(i[..., off:off + nl],
+                                  q[..., off:off + nl])
+        off += nl
+        return self.rx_payload(i[..., off:], q[..., off:], n_symbols, h)
+
+    # ------------------------------------------------------------------
+    # Blind acquisition (Schmidl & Cox + LTF fine timing)
+    # ------------------------------------------------------------------
+
+    def sc_metric(self, i: jnp.ndarray, q: jnp.ndarray, max_lag: int):
+        """Schmidl&Cox timing metric over lags ``[0, max_lag)``.
+
+        Uses the STF's period-``L`` self-similarity (L = n_fft/4):
+        ``P(d) = sum_m conj(r[d+m]) r[d+m+L]`` over a window of
+        ``sym_len - L`` (the full STF symbol incl. CP — a short window
+        would also score 1.0 on the incidental L-lag repetition at each
+        LTF-core -> next-CP junction), and ``R(d)`` the matching energy;
+        returns ``(M, Pi, Pq)`` with ``M = |P|^2 / R^2``. All windowed
+        sums are cumsum differences — O(T) with no loops.
+        """
+        l = self.n_fft // 4
+        w = self.sym_len - l
+        need = max_lag + self.sym_len
+        if i.shape[-1] < need:
+            raise ValueError(f"need >= {need} samples for max_lag={max_lag}")
+        pi = i[..., :-l] * i[..., l:] + q[..., :-l] * q[..., l:]
+        pq = i[..., :-l] * q[..., l:] - q[..., :-l] * i[..., l:]
+        en = i[..., l:] ** 2 + q[..., l:] ** 2
+
+        def wsum(x):  # [..., T-l] -> windowed sum of width w at each lag
+            c = jnp.cumsum(x, axis=-1)
+            zero = jnp.zeros_like(c[..., :1])
+            c = jnp.concatenate([zero, c], axis=-1)
+            return (c[..., w:w + max_lag] - c[..., :max_lag])
+
+        ps_i, ps_q, es = wsum(pi), wsum(pq), wsum(en)
+        m = (ps_i * ps_i + ps_q * ps_q) / jnp.maximum(es * es, 1e-24)
+        return m, ps_i, ps_q
+
+    def acquire(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
+                max_lag: int):
+        """Blind RX: unknown frame start in ``[0, max_lag)``, CFO up to
+        ±2 subcarriers, flat gain/phase and any CP-short multipath.
+
+        Returns ``(bits, report)``; ``report`` carries the located frame
+        start, the fractional-CFO estimate (rad/sample), and the S&C
+        metric peak. Waveforms shorter than the last candidate frame end
+        are zero-padded (silence after the frame).
+        """
+        need = max_lag + self.frame_len(n_symbols)
+        if i.shape[-1] < need:
+            pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],), i.dtype)
+            i = jnp.concatenate([i, pad], axis=-1)
+            q = jnp.concatenate([q, pad], axis=-1)
+        # 1) coarse timing + fractional CFO from the STF periodicity
+        l = self.n_fft // 4
+        m, ps_i, ps_q = self.sc_metric(i, q, max_lag + self.cp)
+        coarse = jnp.argmax(m, axis=-1)
+        pk_i = jnp.take_along_axis(ps_i, coarse[..., None], axis=-1)
+        pk_q = jnp.take_along_axis(ps_q, coarse[..., None], axis=-1)
+        cfo = _angle(pk_i, pk_q) / l  # rad/sample, range ±pi/L = ±2 bins
+        # 2) derotate the whole capture
+        n = jnp.arange(i.shape[-1], dtype=jnp.float32)
+        th = -cfo * n
+        c, s = jnp.cos(th), jnp.sin(th)
+        ci = i * c - q * s
+        cq = i * s + q * c
+        # 3) fine timing: correlate against the ENTIRE known preamble
+        #    (STF + all LTFs, CPs included) over all candidate lags — one
+        #    static gather, like sync.frame_sync. Repeated LTFs alone would
+        #    leave sym_len-offset ambiguities (two equal peaks); the full
+        #    template scores every repetition coherently only at the true
+        #    start. The CFO is already corrected, so the long coherent
+        #    window is safe.
+        def with_cp(t):
+            return np.concatenate([t[-self.cp:], t])
+        tpl_i = jnp.asarray(np.concatenate(
+            [with_cp(self._stf_ti)]
+            + [with_cp(self._ltf_ti)] * self.n_ltf))
+        tpl_q = jnp.asarray(np.concatenate(
+            [with_cp(self._stf_tq)]
+            + [with_cp(self._ltf_tq)] * self.n_ltf))
+        lags = jnp.arange(max_lag, dtype=jnp.int32)[:, None]
+        ks = jnp.arange(self.preamble_len, dtype=jnp.int32)[None, :]
+        idx = lags + ks  # [max_lag, preamble_len]
+        wi, wq = ci[..., idx], cq[..., idx]
+        cr = jnp.sum(wi * tpl_i + wq * tpl_q, axis=-1)
+        cj = jnp.sum(wq * tpl_i - wi * tpl_q, axis=-1)
+        start = jnp.argmax(cr * cr + cj * cj, axis=-1).astype(jnp.int32)
+        # 4) gather the frame at the located start and run the aligned RX
+        flen = self.frame_len(n_symbols)
+        fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
+        fi = jnp.take_along_axis(ci, fidx, axis=-1)
+        fq = jnp.take_along_axis(cq, fidx, axis=-1)
+        bits = self.rx_frame(fi, fq, n_symbols)
+        report = {"start": start, "cfo_rad_per_sample": cfo[..., 0],
+                  "sc_peak": jnp.take_along_axis(m, coarse[..., None],
+                                                 axis=-1)[..., 0]}
+        return bits, report

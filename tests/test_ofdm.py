@@ -1,0 +1,221 @@
+"""OFDM modem (modem_tpu/ofdm.py): multicarrier TX/RX as MXU matmuls.
+
+New capability (the reference is single-carrier everywhere); these tests
+cover the grid math (unitary TX->RX), the one-tap equalizer under
+CP-short multipath, pilot common-phase tracking under residual CFO, the
+channel-weighted LLRs, and the blind Schmidl&Cox + LTF acquisition under
+the full impairment stack at once.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modem_tpu import Rates, make_scheme
+from modem_tpu.ofdm import OfdmModem
+from modem_tpu.ops.channel import awgn
+from modem_tpu.ops.impairments import (
+    apply_cfo, apply_gain_phase, multipath_fir,
+)
+from modem_tpu.ops.llr import llr_hard_bits
+
+RATES = Rates(baud_rate=1250, sample_rate=10000)
+N_SYM = 12
+
+
+def _modem(name="qpsk", **kw):
+    return OfdmModem(make_scheme(name, RATES), **kw)
+
+
+def _bits(modem, channels=2, n_symbols=N_SYM, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(0, 2, (channels, modem.bits_per_frame(n_symbols))),
+        jnp.int32)
+
+
+# Complex channels with delay spread well inside the CP: MILD keeps every
+# bin's |H|^2 above ~0.4 (hard decisions survive), FADED has a ~-21 dB
+# spectral null (hard decisions on the faded bins fail at test SNR — the
+# case channel-weighted LLRs + FEC exist for).
+CH_MILD_I = np.array([1.0, 0.0, 0.15, 0.0, -0.05], np.float32)
+CH_MILD_Q = np.array([0.0, 0.1, 0.0, 0.05, 0.0], np.float32)
+CH_FADED_I = np.array([0.9, 0.0, 0.25, 0.0, -0.1], np.float32)
+CH_FADED_Q = np.array([0.1, -0.3, 0.0, 0.12, 0.05], np.float32)
+
+
+class TestGrid:
+    def test_default_grid_is_80211_style(self):
+        m = _modem()
+        assert m.n_fft == 64 and m.cp == 16 and m.sym_len == 80
+        assert m.n_data == 48 and len(m.pilot_bins) == 4
+        assert set(m.pilot_bins) == {-21, -7, 7, 21}
+        assert m.bits_per_frame(1) == 96  # QPSK on 48 data bins
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            _modem(data_bins=(1, 2), pilot_bins=(2,))  # overlap
+        with pytest.raises(ValueError):
+            _modem(data_bins=(0, 1), pilot_bins=())  # DC
+        with pytest.raises(ValueError):
+            _modem("mfsk")  # not a LUT scheme
+
+    @pytest.mark.parametrize("name", ["qpsk", "qam16", "qam256", "16psk"])
+    def test_payload_roundtrip_exact(self, name):
+        m = _modem(name)
+        bits = _bits(m)
+        i, q = m.tx_payload(bits)
+        assert i.shape == (2, N_SYM * m.sym_len)
+        out = m.rx_payload(i, q, N_SYM)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_equalized_points_hit_the_lut(self):
+        m = _modem("qam16")
+        bits = _bits(m, channels=1)
+        i, q = m.tx_payload(bits)
+        di, dq, m2 = m._equalize(i, q, N_SYM, None)
+        # decision points must sit on constellation points to fp tolerance
+        d = np.stack([np.asarray(di), np.asarray(dq)], -1).reshape(-1, 2)
+        lut = np.asarray(m.lut)
+        err = np.min(
+            np.sum((d[:, None, :] - lut[None, :, :]) ** 2, -1), -1)
+        assert float(err.max()) < 1e-8
+        assert np.allclose(np.asarray(m2), 1.0)
+
+    def test_frame_roundtrip_clean(self):
+        m = _modem()
+        bits = _bits(m)
+        i, q = m.tx_frame(bits)
+        assert i.shape[-1] == m.frame_len(N_SYM)
+        out = m.rx_frame(i, q, N_SYM)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+
+class TestEqualizer:
+    def test_multipath_inside_cp_is_exact(self):
+        m = _modem("qam16")
+        bits = _bits(m)
+        i, q = m.tx_frame(bits)
+        ci, cq = multipath_fir(i, q, CH_MILD_I, CH_MILD_Q)
+        ci, cq = apply_gain_phase(ci, cq, gain=0.7, phase=1.1)
+        ci, cq = awgn(jax.random.PRNGKey(1), ci, cq, 30.0)
+        out = m.rx_frame(ci, cq, N_SYM)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_pilot_cpe_tracks_residual_cfo(self):
+        m = _modem()
+        bits = _bits(m)
+        i, q = m.tx_frame(bits)
+        # ~0.02 subcarrier residual CFO: negligible ICI, but ~1.9 rad of
+        # accumulated rotation by the last symbol — fatal without the
+        # per-symbol pilot correction.
+        ci, cq = apply_cfo(i, q, cfo_hz=0.002 / (2.0 * np.pi),
+                           sample_rate=1)
+        out = m.rx_frame(ci, cq, N_SYM)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_llr_signs_match_hard_decisions_and_fade_weighting(self):
+        m = _modem("qam16")
+        bits = _bits(m)
+        i, q = m.tx_frame(bits)
+        ci, cq = multipath_fir(i, q, CH_FADED_I, CH_FADED_Q)
+        ci, cq = awgn(jax.random.PRNGKey(3), ci, cq, 28.0)
+        off = m.preamble_len
+        h = m.estimate_channel(ci[..., m.sym_len:off], cq[..., m.sym_len:off])
+        llr = m.rx_soft_payload(ci[..., off:], cq[..., off:], N_SYM, h,
+                                noise_var=1e-3)
+        hard = m.rx_payload(ci[..., off:], cq[..., off:], N_SYM, h)
+        assert llr.shape == bits.shape
+        # soft and hard paths must agree bit-for-bit (errors and all)
+        np.testing.assert_array_equal(
+            np.asarray(llr_hard_bits(llr)), np.asarray(hard))
+        # weighting: faded bins (small |H|^2) must yield weaker beliefs
+        hi, hq = h
+        m2 = np.asarray(hi * hi + hq * hq)[..., np.asarray(
+            m._data_in_used)]
+        mag = np.abs(np.asarray(llr)).reshape(
+            bits.shape[0], N_SYM, m.n_data, m.bits_per_symbol).mean((0, 1, 3))
+        weak, strong = np.argmin(m2[0]), np.argmax(m2[0])
+        assert mag[weak] < mag[strong]
+
+    def test_deep_fade_coded_llrs_beat_hard_decisions(self):
+        """The payoff of channel-weighted soft output: over a channel with
+        a -21 dB spectral null, hard OFDM decisions have a persistent error
+        floor, but the K=7 code over the |H|^2-weighted LLRs decodes
+        exactly — faded bins contribute proportionally weak beliefs and
+        the trellis bridges them."""
+        from modem_tpu.fec import block_deinterleave, block_interleave, \
+            ccsds_code
+
+        m = _modem()  # QPSK on 48 bins: 96 coded bits/symbol
+        code = ccsds_code()
+        n_sym, snr = 12, 17.0
+        k = m.bits_per_frame(n_sym) // 2 - (code.k - 1)  # 570
+        rng = np.random.default_rng(9)
+        data = jnp.asarray(rng.integers(0, 2, (4, k)), jnp.int32)
+        cbits = block_interleave(code.encode(data), rows=16)
+        i, q = m.tx_frame(cbits)
+        ci, cq = multipath_fir(i, q, CH_FADED_I, CH_FADED_Q)
+        ci, cq = awgn(jax.random.PRNGKey(11), ci, cq, snr)
+        p = float(jnp.mean(i * i + q * q))
+        nv = p / (2.0 * 10.0 ** (snr / 10.0))
+        off = m.preamble_len
+        h = m.estimate_channel(ci[..., m.sym_len:off],
+                               cq[..., m.sym_len:off])
+        hard = m.rx_payload(ci[..., off:], cq[..., off:], n_sym, h)
+        llr = m.rx_soft_payload(ci[..., off:], cq[..., off:], n_sym, h,
+                                noise_var=nv)
+        dec = code.decode_soft(block_deinterleave(llr, rows=16))
+        uncoded = int(jnp.sum(hard != cbits))
+        coded = int(jnp.sum(dec != data))
+        assert uncoded > 20  # the fade genuinely bites
+        assert coded == 0
+
+
+class TestAcquire:
+    def _impair(self, i, q, offset, cfo_bins, seed=5, snr=25.0):
+        m_gap = jnp.zeros(i.shape[:-1] + (offset,), i.dtype)
+        ci = jnp.concatenate([m_gap, i], axis=-1)
+        cq = jnp.concatenate([m_gap, q], axis=-1)
+        ci, cq = multipath_fir(ci, cq, CH_MILD_I, CH_MILD_Q)
+        ci, cq = apply_cfo(ci, cq, cfo_hz=cfo_bins / 64.0, sample_rate=1)
+        ci, cq = apply_gain_phase(ci, cq, gain=1.4, phase=-2.0)
+        return awgn(jax.random.PRNGKey(seed), ci, cq, snr)
+
+    def test_blind_acquire_full_stack(self):
+        m = _modem()
+        bits = _bits(m, channels=3)
+        i, q = m.tx_frame(bits)
+        ci, cq = self._impair(i, q, offset=37, cfo_bins=1.3)
+        out, rep = m.acquire(ci, cq, N_SYM, max_lag=128)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        # located start = inserted gap + channel's dominant-path delay
+        assert np.all(np.abs(np.asarray(rep["start"]) - 37) <= 4)
+        # CFO estimate within a few percent of a subcarrier
+        cfo_true = 1.3 * 2 * np.pi / 64.0
+        assert np.all(
+            np.abs(np.asarray(rep["cfo_rad_per_sample"]) - cfo_true)
+            < 0.03 * 2 * np.pi / 64.0)
+
+    def test_acquire_pads_short_capture(self):
+        m = _modem()
+        bits = _bits(m, channels=1)
+        i, q = m.tx_frame(bits)
+        out, _ = m.acquire(i, q, N_SYM, max_lag=64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_sc_metric_peaks_on_stf(self):
+        m = _modem()
+        bits = _bits(m, channels=1)
+        i, q = m.tx_frame(bits)
+        gap = 50
+        zi = jnp.concatenate(
+            [jnp.zeros(i.shape[:-1] + (gap,), i.dtype), i], axis=-1)
+        zq = jnp.concatenate(
+            [jnp.zeros(q.shape[:-1] + (gap,), q.dtype), q], axis=-1)
+        metric, _, _ = m.sc_metric(zi, zq, 200)
+        peak = int(np.argmax(np.asarray(metric)[0]))
+        # periodic region: anywhere in the STF symbol
+        assert gap - 2 <= peak <= gap + m.sym_len
