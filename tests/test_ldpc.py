@@ -1,0 +1,135 @@
+"""QC-LDPC (modem_tpu/fec/ldpc.py): IRA encode + gather-free min-sum.
+
+Validated against an independent dense-GF(2) numpy oracle (H built from
+the edge list), then as a channel code: noiseless, bit-flip, and AWGN
+operation, plus the end-to-end soft path from the QPSK chain's LLRs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modem_tpu import Rates, qpsk_reference_chain
+from modem_tpu.fec.ldpc import QcLdpc
+from modem_tpu.ops.channel import awgn
+
+
+def _dense_h(code: QcLdpc) -> np.ndarray:
+    """Independent oracle: H as a dense GF(2) matrix from the edge list."""
+    h = np.zeros((code.mb * code.z, code.n), np.int64)
+    for r, c, s in code._edges:
+        for t in range(code.z):
+            # (M x)_t = x_{(t+s) mod z}: row t of block r has a 1 at
+            # column position (t + s) mod z of block c
+            h[r * code.z + t, c * code.z + (t + s) % code.z] = 1
+    return h
+
+
+CODE = QcLdpc()  # (648, 324)
+
+
+class TestConstruction:
+    def test_geometry(self):
+        assert (CODE.n, CODE.k) == (648, 324)
+        # balanced check degrees: every row gets data entries
+        degs = [d for _, d in CODE._row_slices]
+        assert min(degs) >= 4 and max(degs) - min(degs) <= 2
+
+    def test_no_4cycles(self):
+        h = _dense_h(CODE)
+        gram = h @ h.T
+        np.fill_diagonal(gram, 0)
+        assert gram.max() <= 1  # two rows share at most one column
+
+    def test_encode_satisfies_dense_h(self):
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.integers(0, 2, (5, CODE.k)), jnp.int32)
+        cw = np.asarray(CODE.encode(data))
+        h = _dense_h(CODE)
+        assert cw.shape == (5, CODE.n)
+        np.testing.assert_array_equal((cw @ h.T) % 2, 0)
+        # systematic
+        np.testing.assert_array_equal(cw[:, :CODE.k], np.asarray(data))
+
+    def test_syndrome_ok(self):
+        rng = np.random.default_rng(1)
+        data = jnp.asarray(rng.integers(0, 2, (3, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        assert bool(jnp.all(CODE.syndrome_ok(cw)))
+        bad = cw.at[..., 100].set(1 - cw[..., 100])
+        assert not bool(jnp.any(CODE.syndrome_ok(bad)))
+
+
+class TestDecode:
+    def test_noiseless(self):
+        rng = np.random.default_rng(2)
+        data = jnp.asarray(rng.integers(0, 2, (4, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        llr = 20.0 * (1.0 - 2.0 * cw.astype(jnp.float32))
+        out = CODE.decode(llr, iters=5)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(data))
+
+    def test_corrects_bit_flips(self):
+        rng = np.random.default_rng(3)
+        data = jnp.asarray(rng.integers(0, 2, (4, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        flips = np.zeros((4, CODE.n), np.float32)
+        for b in range(4):
+            flips[b, rng.choice(CODE.n, 25, replace=False)] = 1.0
+        x = cw.astype(jnp.float32) + jnp.asarray(flips) * (
+            1.0 - 2.0 * cw.astype(jnp.float32))
+        llr = 4.0 * (1.0 - 2.0 * x)
+        out = CODE.decode(llr, iters=30)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(data))
+
+    def test_awgn_waterfall(self):
+        """BPSK over AWGN at Eb/N0 = 4.5 dB: the raw channel makes
+        hundreds of hard errors; 40 min-sum iterations clean all of them
+        (deterministic seeds)."""
+        rng = np.random.default_rng(4)
+        data = jnp.asarray(rng.integers(0, 2, (16, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        x = 1.0 - 2.0 * cw.astype(jnp.float32)  # bit 0 -> +1
+        ebn0 = 10.0 ** (4.5 / 10.0)
+        sigma2 = 1.0 / (2.0 * 0.5 * ebn0)  # rate 1/2
+        noise = jnp.asarray(np.random.default_rng(44).normal(
+            0.0, np.sqrt(sigma2), x.shape), jnp.float32)
+        y = x + noise
+        llr = 2.0 * y / sigma2
+        raw = int(jnp.sum((y < 0).astype(jnp.int32) != cw))
+        out = CODE.decode(llr, iters=40)
+        errs = int(jnp.sum(out != data))
+        assert raw > 200
+        assert errs == 0
+
+    def test_decode_full_resatisfies_h(self):
+        rng = np.random.default_rng(5)
+        data = jnp.asarray(rng.integers(0, 2, (2, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        llr = 6.0 * (1.0 - 2.0 * cw.astype(jnp.float32))
+        full = CODE.decode_full(llr, iters=10)
+        assert bool(jnp.all(CODE.syndrome_ok(full)))
+
+
+class TestChainIntegration:
+    def test_qpsk_chain_llrs_feed_ldpc(self):
+        """bits -> LDPC encode -> QPSK chain + AWGN -> chain LLRs ->
+        min-sum: exact where the uncoded chain has a clear error floor
+        (the same SNR point as the Viterbi integration test)."""
+        rates = Rates(baud_rate=1250, sample_rate=10000)
+        chain = qpsk_reference_chain(rates)
+        rng = np.random.default_rng(6)
+        data = jnp.asarray(rng.integers(0, 2, (8, CODE.k)), jnp.int32)
+        cbits = CODE.encode(data)                       # [..., 648]
+        i, q = chain.tx(cbits)
+        ni, nq = awgn(jax.random.key(7), i, q, snr_db=-3.0)
+        p = float(jnp.mean(i * i + q * q))
+        nv = p / (2.0 * 10.0 ** (-3.0 / 10.0))
+        k = cbits.shape[-1] // 2
+        llr = chain.rx_soft((ni, nq), k, noise_var=nv)
+        hard = chain.rx((ni, nq), k)
+        out = CODE.decode(llr, iters=40)
+        assert int(jnp.sum(hard != cbits)) > 30   # uncoded floor
+        assert int(jnp.sum(out != data)) == 0     # LDPC cleans it
