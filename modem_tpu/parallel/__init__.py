@@ -25,6 +25,7 @@ from .channelizer import (
     wideband_tx_fn,
 )
 from .mesh import make_modem_mesh
+from .ofdm import sharded_ofdm_rx_fn, sharded_ofdm_tx_fn
 from .collectives import left_halo, right_halo, exclusive_prefix
 from .fir import fir_with_halo, sharded_fir
 from .chain import ShardedDifferentialChain, ShardedPulseChain
@@ -39,6 +40,7 @@ __all__ = [
     "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
     "ShardedPulseChain", "ShardedResampledChain",
     "sharded_acquire_fn", "sharded_analyze_fn", "sharded_synthesize_fn",
+    "sharded_ofdm_rx_fn", "sharded_ofdm_tx_fn",
     "sharded_viterbi_fn", "time_sharded_baseband",
     "sharded_demodulate", "time_sharded_fsk_roundtrip_fn",
     "viterbi_with_halo", "wideband_rx_fn", "wideband_tx_fn",
