@@ -17,6 +17,7 @@ from .chain import (
     DcqpskChain, DifferentialChain, FskChain, MskChain, OqpskChain,
     PulseShapedChain, qpsk_reference_chain,
 )
+from .gmsk import GmskChain
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
@@ -27,7 +28,7 @@ from .wideband import WidebandModem
 __all__ = [
     "AcquiringReceiver", "Channelizer", "DcqpskChain", "Demodulator",
     "DifferentialChain",
-    "FramedLink", "Freq", "FskChain", "Modulator", "MskChain",
+    "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
     "OfdmModem", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
