@@ -183,6 +183,50 @@ def main():
     bench(f"RS(255,223) decode (8 errs/cw, {n_cw} cw/blk)", run_rs_dec,
           (rs_recv, rs_msgs), rs_info, n_blocks=rs_blocks)
 
+    # ---- QC-LDPC (648, 324): min-sum iterations as one lax.scan ----
+    from modem_tpu.fec import QcLdpc
+
+    ldpc = QcLdpc()
+    ldpc_blocks = max(4, N_BLOCKS // 4)
+
+    @jax.jit
+    def make_ldpc(k):
+        kb, kn = jax.random.split(k)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (ldpc_blocks, CHANNELS, ldpc.k)).astype(jnp.int32)
+        c = ldpc.encode(bits)
+        # sigma 0.35 ~ Eb/N0 7 dB: deep in the error-free region, so the
+        # decoded checksum doubles as the correctness gate
+        y = (1.0 - 2.0 * c
+             + 0.35 * jax.random.normal(kn, c.shape, jnp.float32))
+        return bits, 2.0 * y / (0.35 * 0.35)
+
+    ldpc_bits, ldpc_llrs = make_ldpc(jax.random.key(2))
+
+    @jax.jit
+    def run_ldpc_enc(bits):
+        def body(acc, b):
+            return acc + jnp.sum(ldpc.encode(b)), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
+        return jnp.stack([acc, acc])
+
+    def make_ldpc_dec(iters):
+        @jax.jit
+        def run(llrs, bits):
+            def body(acc, lam):
+                return acc + jnp.sum(ldpc.decode(lam, iters=iters)), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+            return jnp.stack([acc, jnp.sum(bits)])
+        return run
+
+    ldpc_info = CHANNELS * ldpc.k
+    bench("LDPC(648,324) encode (prefix-XOR)", run_ldpc_enc, (ldpc_bits,),
+          ldpc_info, n_blocks=ldpc_blocks)
+    for it in (10, 25):
+        bench(f"LDPC(648,324) min-sum decode, {it} iters",
+              make_ldpc_dec(it), (ldpc_llrs, ldpc_bits), ldpc_info,
+              n_blocks=ldpc_blocks)
+
 
 if __name__ == "__main__":
     main()

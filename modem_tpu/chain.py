@@ -29,7 +29,7 @@ from .ops.filters import rrc_taps
 from .ops.nco import carrier_phase, mix_up
 from .ops.polyphase import polyphase_decim, polyphase_interp
 from .ops.slicer import (
-    diff_phase_slice, fm_discriminate, fsk_slice, lut_slice,
+    diff_phase_slice, fm_discriminate, fsk_slice, lut_map, lut_slice,
 )
 from .tx import Modulator
 from .utils.bits import pack_bits, unpack_symbols
@@ -120,9 +120,9 @@ class PulseShapedChain:
 
     def shape_pulses(self, symbols: jnp.ndarray):
         """symbols [..., K] -> RRC-shaped baseband I/Q [..., (K+span)*sps]."""
-        iq = jnp.asarray(self.lut)[symbols]  # [..., K, 2]
-        return shape_iq(iq, self.rrc, self.sps, self.span, self.polyphase,
-                        self.fir_backend)
+        mi, mq = lut_map(symbols, self.lut)  # one-hot matmul, not a gather
+        return shape_iq(jnp.stack([mi, mq], axis=-1), self.rrc, self.sps,
+                        self.span, self.polyphase, self.fir_backend)
 
     def tx(self, bits: jnp.ndarray):
         """bits -> baseband I/Q (or real passband if carrier_hz is set)."""

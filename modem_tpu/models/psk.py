@@ -22,9 +22,11 @@ _SQRT_HALF = math.sqrt(0.5)
 
 
 def _lut_gather(lut: np.ndarray, symbols: jnp.ndarray) -> IQProgram:
-    table = jnp.asarray(lut, dtype=jnp.float32)  # [n_points, 2]
-    iq = table[symbols]
-    return IQProgram(i=iq[..., 0], q=iq[..., 1])
+    # one-hot matmul, not a table gather (see ops.slicer.lut_map: 4x on TPU)
+    from ..ops.slicer import lut_map
+
+    i, q = lut_map(symbols, lut)
+    return IQProgram(i=i, q=q)
 
 
 class BPSK(Scheme):

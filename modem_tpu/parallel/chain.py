@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..chain import PulseShapedChain, upsample_zero_stuff
 from ..ops.fir import fir_filter
 from ..ops.nco import carrier_phase
-from ..ops.slicer import lut_slice
+from ..ops.slicer import lut_map, lut_slice
 from ..utils.bits import pack_bits, unpack_symbols
 from .collectives import left_halo, right_halo
 
@@ -70,10 +70,9 @@ class ShardedPulseChain:
         ch = self.chain
         sps, d = ch.sps, ch.span * ch.sps
         syms = pack_bits(bits_l, ch.scheme.bits_per_symbol)
-        lut = jnp.asarray(ch.lut)
-        iq = lut[syms]  # [Cl, Kl, 2]
-        ui = upsample_zero_stuff(iq[..., 0], sps)
-        uq = upsample_zero_stuff(iq[..., 1], sps)
+        mi, mq = lut_map(syms, ch.lut)  # one-hot matmul, not a gather
+        ui = upsample_zero_stuff(mi, sps)
+        uq = upsample_zero_stuff(mq, sps)
         z = jnp.zeros(ui.shape[:-1] + (d,), ui.dtype)
         ui = jnp.concatenate([ui, z], axis=-1)
         uq = jnp.concatenate([uq, z], axis=-1)

@@ -39,7 +39,7 @@ from .ops.filters import rrc_taps
 from .ops.fir import fir_filter
 from .ops.polyphase import _phase_bank, polyphase_interp
 from .ops.resample import rational_resample, resample_taps
-from .ops.slicer import lut_slice
+from .ops.slicer import lut_map, lut_slice
 from .utils.bits import pack_bits, unpack_symbols
 
 
@@ -122,8 +122,9 @@ class ResampledChain:
     def tx(self, bits: jnp.ndarray):
         """bits -> channel-rate baseband I/Q (resampled by up/down)."""
         syms = self.map_symbols(bits)
-        iq = jnp.asarray(self.lut)[syms]
-        si, sq = shape_iq(iq, self.rrc, self.sps, self.span, polyphase=True)
+        mi, mq = lut_map(syms, self.lut)  # one-hot matmul, not a gather
+        si, sq = shape_iq(jnp.stack([mi, mq], axis=-1), self.rrc, self.sps,
+                          self.span, polyphase=True)
         n_pad = self._padded_len(syms.shape[-1])
         pad = n_pad - si.shape[-1]
         if pad:
@@ -314,7 +315,8 @@ class StreamingResampledChain:
         c = self.chain
         syms = pack_bits(bits, self.bps)
         self._sym_seen += syms.shape[-1]
-        iq = jnp.asarray(c.lut)[syms]
+        mi, mq = lut_map(syms, c.lut)
+        iq = jnp.stack([mi, mq], axis=-1)
         outs = []
         for r in range(2):
             y, self._interp[r] = polyphase_interp(
