@@ -184,16 +184,20 @@ def main():
           (rs_recv, rs_msgs), rs_info, n_blocks=rs_blocks)
 
     # ---- QC-LDPC (648, 324): min-sum iterations as one lax.scan ----
+    # Batch width 4096 is the measured sweet spot: the per-edge message
+    # working set stays VMEM-resident (wider spills to HBM and halves the
+    # rate; narrower sits on the dispatch floor).
     from modem_tpu.fec import QcLdpc
 
     ldpc = QcLdpc()
+    ldpc_ch = int(os.environ.get("BENCH_LDPC_CHANNELS", 4096))
     ldpc_blocks = max(4, N_BLOCKS // 4)
 
     @jax.jit
     def make_ldpc(k):
         kb, kn = jax.random.split(k)
         bits = jax.random.bernoulli(
-            kb, 0.5, (ldpc_blocks, CHANNELS, ldpc.k)).astype(jnp.int32)
+            kb, 0.5, (ldpc_blocks, ldpc_ch, ldpc.k)).astype(jnp.int32)
         c = ldpc.encode(bits)
         # sigma 0.35 ~ Eb/N0 7 dB: deep in the error-free region, so the
         # decoded checksum doubles as the correctness gate
@@ -219,7 +223,7 @@ def main():
             return jnp.stack([acc, jnp.sum(bits)])
         return run
 
-    ldpc_info = CHANNELS * ldpc.k
+    ldpc_info = ldpc_ch * ldpc.k
     bench("LDPC(648,324) encode (prefix-XOR)", run_ldpc_enc, (ldpc_bits,),
           ldpc_info, n_blocks=ldpc_blocks)
     for it in (10, 25):
