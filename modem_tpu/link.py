@@ -6,8 +6,9 @@ or whitening. :class:`FramedLink` composes the round-2 subsystems into the
 complete production arrangement:
 
     payload → CRC append → scramble (energy dispersal)
-            → [RS outer encode] → conv inner encode → [puncture]
-            → block interleave → chain TX (RRC waveform, fused kernels)
+            → [RS outer encode] → inner encode (conv [+ puncture] or
+              QC-LDPC) → block interleave → chain TX (RRC waveform,
+              fused kernels)
 
 and the exact inverse from soft decision LLRs, ending in a per-frame CRC
 verdict — so a user gets bits→waveform→bits with integrity in two calls.
@@ -26,8 +27,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from .fec import (
-    ConvCode, Crc, Puncturer, ReedSolomon, Scrambler, block_deinterleave,
-    block_interleave, ccsds_code, crc16_ccitt, dvb_scrambler,
+    ConvCode, Crc, Puncturer, QcLdpc, ReedSolomon, Scrambler,
+    block_deinterleave, block_interleave, ccsds_code, crc16_ccitt,
+    dvb_scrambler,
 )
 
 
@@ -39,6 +41,10 @@ class FramedLink:
     ``payload_bits`` is required without an RS outer code; with one it is
     implied (``rs.k*8 - crc.w``). ``interleave_rows=0`` disables
     interleaving; ``rs=None`` / ``puncturer=None`` drop those stages.
+    ``ldpc`` replaces the convolutional inner code with a QC-LDPC
+    (:class:`modem_tpu.fec.QcLdpc`): the framed block must then be a whole
+    number of LDPC data blocks (``coded_in % ldpc.k == 0``), and
+    puncturing does not apply.
     """
 
     def __init__(self, chain, payload_bits: int | None = None,
@@ -47,9 +53,18 @@ class FramedLink:
                  puncturer: Puncturer | None = None,
                  interleave_rows: int = 8,
                  scrambler: Scrambler | None = None,
-                 crc: Crc | None = None):
+                 crc: Crc | None = None,
+                 ldpc: QcLdpc | None = None,
+                 ldpc_iters: int = 30):
+        if ldpc is not None and conv is not None:
+            raise ValueError("choose one inner code: conv or ldpc")
+        if ldpc is not None and puncturer is not None:
+            raise ValueError("puncturing applies to the conv inner code")
         self.chain = chain
-        self.conv = ccsds_code() if conv is None else conv
+        self.ldpc = ldpc
+        self.ldpc_iters = int(ldpc_iters)
+        self.conv = (None if ldpc is not None
+                     else (ccsds_code() if conv is None else conv))
         self.rs = rs
         self.puncturer = puncturer
         self.rows = int(interleave_rows)
@@ -69,15 +84,23 @@ class FramedLink:
 
         framed = self.payload_bits + self.crc.w
         coded_in = rs.n * 8 if rs is not None else framed
-        steps = coded_in + (self.conv.k - 1)
-        if puncturer is not None and steps % puncturer.period:
-            raise ValueError(
-                f"conv trellis length {steps} (= frame {coded_in} + "
-                f"{self.conv.k - 1} flush) must divide by the puncture "
-                f"period {puncturer.period}; adjust payload or pattern")
-        self._steps = steps
-        wire = (puncturer.out_bits(steps) if puncturer is not None
-                else steps * self.conv.n)
+        if ldpc is not None:
+            if coded_in % ldpc.k:
+                raise ValueError(
+                    f"framed block of {coded_in} bits must divide by the "
+                    f"LDPC data size {ldpc.k}; adjust payload_bits")
+            self._steps = coded_in // ldpc.k  # LDPC codewords per frame
+            wire = self._steps * ldpc.n
+        else:
+            steps = coded_in + (self.conv.k - 1)
+            if puncturer is not None and steps % puncturer.period:
+                raise ValueError(
+                    f"conv trellis length {steps} (= frame {coded_in} + "
+                    f"{self.conv.k - 1} flush) must divide by the puncture "
+                    f"period {puncturer.period}; adjust payload or pattern")
+            self._steps = steps
+            wire = (puncturer.out_bits(steps) if puncturer is not None
+                    else steps * self.conv.n)
         if self.rows and wire % self.rows:
             raise ValueError(
                 f"wire length {wire} must divide by interleave_rows="
@@ -102,9 +125,15 @@ class FramedLink:
             x, self.scrambler.init_state(x.shape[:-1]))
         if self.rs is not None:
             x = self.rs.encode_bits(x)
-        x = self.conv.encode(x)
-        if self.puncturer is not None:
-            x = self.puncturer.puncture(x)
+        if self.ldpc is not None:
+            m = self._steps
+            x = x.reshape(x.shape[:-1] + (m, self.ldpc.k))
+            x = self.ldpc.encode(x)
+            x = x.reshape(x.shape[:-2] + (m * self.ldpc.n,))
+        else:
+            x = self.conv.encode(x)
+            if self.puncturer is not None:
+                x = self.puncturer.puncture(x)
         if self.rows:
             x = block_interleave(x, self.rows)
         return x
@@ -121,9 +150,15 @@ class FramedLink:
         x = llrs
         if self.rows:
             x = block_deinterleave(x, self.rows)
-        if self.puncturer is not None:
-            x = self.puncturer.depuncture(x, self._steps)
-        x = self.conv.decode_soft(x)
+        if self.ldpc is not None:
+            m = self._steps
+            x = x.reshape(x.shape[:-1] + (m, self.ldpc.n))
+            x = self.ldpc.decode(x, iters=self.ldpc_iters)
+            x = x.reshape(x.shape[:-2] + (m * self.ldpc.k,))
+        else:
+            if self.puncturer is not None:
+                x = self.puncturer.depuncture(x, self._steps)
+            x = self.conv.decode_soft(x)
         ok = None
         if self.rs is not None:
             x, ok = self.rs.decode_bits(x)

@@ -6,12 +6,13 @@ the size-coupling validation errors.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from modem_tpu import Rates, qpsk_reference_chain
-from modem_tpu.fec import Puncturer, rate34_pattern, rs_dvb
+from modem_tpu.fec import Puncturer, ccsds_code, rate34_pattern, rs_dvb
 from modem_tpu.link import FramedLink
 from modem_tpu.ops.channel import awgn
 
@@ -64,6 +65,34 @@ class TestFramedLink:
         assert link.wire_bits == 1638 // 3 * 4  # 4 kept of 6 per period
         errs, ok, n = _run(link, snr_db=-2.0, seed=3)
         assert errs == 0 and ok.all()
+
+    def test_ldpc_inner_link(self):
+        """QC-LDPC as the inner code: exact payload + ok verdicts at an
+        SNR where the uncoded chain has a clear error floor (rate 1/2,
+        two codewords per frame)."""
+        from modem_tpu.fec import QcLdpc
+
+        code = QcLdpc()
+        link = FramedLink(qpsk_reference_chain(RATES),
+                          payload_bits=2 * code.k - 16, ldpc=code,
+                          ldpc_iters=40)
+        assert link.wire_bits == 2 * code.n
+        errs, ok, n = _run(link, snr_db=-3.0, seed=5)
+        assert errs == 0 and ok.all()
+
+    def test_ldpc_validation(self):
+        from modem_tpu.fec import QcLdpc
+
+        code = QcLdpc()
+        chain = qpsk_reference_chain(RATES)
+        with pytest.raises(ValueError):
+            FramedLink(chain, payload_bits=100, ldpc=code)  # not a block
+        with pytest.raises(ValueError):
+            FramedLink(chain, payload_bits=code.k - 16, ldpc=code,
+                       conv=ccsds_code())  # two inner codes
+        with pytest.raises(ValueError):
+            FramedLink(chain, payload_bits=code.k - 16, ldpc=code,
+                       puncturer=Puncturer(rate34_pattern()))
 
     def test_size_validation(self):
         chain = qpsk_reference_chain(RATES)
