@@ -23,7 +23,7 @@ if os.environ.get("BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 import jax.numpy as jnp
 
-from modem_tpu import Rates, make_scheme
+from modem_tpu import GmskChain, Rates, make_scheme
 from modem_tpu.chain import (
     DifferentialChain, FskChain, MskChain, PulseShapedChain,
     qpsk_reference_chain,
@@ -43,6 +43,9 @@ PASSES = 5
 
 
 def rows():
+    yield ("staged flagship QPSK (XLA, lut_map)", 2,
+           qpsk_reference_chain(RATES).roundtrip)
+    yield ("staged GMSK BT=0.3", 1, GmskChain(RATES, bt=0.3).roundtrip)
     yield ("fused flagship QPSK", 2,
            qpsk_reference_chain(RATES).roundtrip_fused)
     yield ("fused passband QPSK", 2,
