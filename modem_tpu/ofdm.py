@@ -160,6 +160,17 @@ class OfdmModem:
         cu, su = _dft_rows(n, self.used_bins)
         self._rx_c = (cu.T * scale).astype(np.float32)  # [N, U]
         self._rx_s = (su.T * scale).astype(np.float32)
+        # Separate data/pilot RX matrices: the payload path computes the
+        # data-bin and pilot-bin spectra as two direct matmuls instead of
+        # one used-bin matmul + per-payload selection gathers (gathers
+        # lose to MXU algebra on this device — see ops.slicer.lut_map).
+        cdd, sdd = _dft_rows(n, data_bins)
+        self._rx_cd = (cdd.T * scale).astype(np.float32)  # [N, D]
+        self._rx_sd = (sdd.T * scale).astype(np.float32)
+        cpp, spp = _dft_rows(n, pilot_bins) if pilot_bins else (
+            np.zeros((0, n), np.float32), np.zeros((0, n), np.float32))
+        self._rx_cp = (cpp.T * scale).astype(np.float32)  # [N, P]
+        self._rx_sp = (spp.T * scale).astype(np.float32)
         # Precomputed time-domain overlays/preambles (numpy, host-side).
         cp_, sp_ = _dft_rows(n, pilot_bins) if pilot_bins else (
             np.zeros((0, n), np.float32), np.zeros((0, n), np.float32))
@@ -299,24 +310,35 @@ class OfdmModem:
         (the LLR weighting). ``h``: (hi, hq) from
         :meth:`estimate_channel`; None = ideal channel."""
         xi, xq = self._strip_cp(i, q, n_symbols)
-        yi, yq = self._dft_used(xi, xq)  # [..., S, U]
+
+        def dft(rc, rs):
+            rc, rs = jnp.asarray(rc), jnp.asarray(rs)
+            return xi @ rc + xq @ rs, xq @ rc - xi @ rs
+
+        yi, yq = dft(self._rx_cd, self._rx_sd)  # data bins [..., S, D]
         if h is None:
-            hi = jnp.ones(yi.shape[:-2] + (len(self.used_bins),), yi.dtype)
-            hq = jnp.zeros_like(hi)
+            hdi = jnp.ones(yi.shape[:-2] + (1, self.n_data), yi.dtype)
+            hdq = jnp.zeros_like(hdi)
+            hpi = jnp.ones(yi.shape[:-2] + (1, len(self.pilot_bins)),
+                           yi.dtype)
+            hpq = jnp.zeros_like(hpi)
         else:
+            # H comes per used bin (one estimate per frame): the two tiny
+            # selections here run once, not per payload symbol.
             hi, hq = h
-        hi = hi[..., None, :]
-        hq = hq[..., None, :]
+            hdi = hi[..., self._data_in_used][..., None, :]
+            hdq = hq[..., self._data_in_used][..., None, :]
+            hpi = hi[..., self._pilot_in_used][..., None, :]
+            hpq = hq[..., self._pilot_in_used][..., None, :]
         if self.pilot_bins:
             # Common phase/gain per symbol from the pilots: c_s = sum_p
             # Y[s,p] conj(H_p P_p pol_s) / sum_p |H_p P_p|^2, then divide
             # the equalized symbols by c_s (residual CFO -> CPE tracking).
-            pidx = self._pilot_in_used
+            ypi, ypq = dft(self._rx_cp, self._rx_sp)  # [..., S, P]
             pv = jnp.asarray(self._pilot_vals)
             pol = jnp.asarray(self._polarity(n_symbols))[..., :, None]
-            ri = hi[..., pidx] * pv * pol
-            rq = hq[..., pidx] * pv * pol
-            ypi, ypq = yi[..., pidx], yq[..., pidx]
+            ri = hpi * pv * pol
+            rq = hpq * pv * pol
             ci = jnp.sum(ypi * ri + ypq * rq, axis=-1, keepdims=True)
             cq = jnp.sum(ypq * ri - ypi * rq, axis=-1, keepdims=True)
             e = jnp.sum(ri * ri + rq * rq, axis=-1, keepdims=True)
@@ -324,12 +346,9 @@ class OfdmModem:
             # divide by (c/e): y *= conj(c) * e / |c|^2
             yi, yq = ((yi * ci + yq * cq) * e / m2c,
                       (yq * ci - yi * cq) * e / m2c)
-        didx = self._data_in_used
-        hdi, hdq = hi[..., didx], hq[..., didx]
         m2 = jnp.maximum(hdi * hdi + hdq * hdq, 1e-24)
-        ydi, ydq = yi[..., didx], yq[..., didx]
-        return ((ydi * hdi + ydq * hdq) / m2,
-                (ydq * hdi - ydi * hdq) / m2, m2[..., 0, :])
+        return ((yi * hdi + yq * hdq) / m2,
+                (yq * hdi - yi * hdq) / m2, m2[..., 0, :])
 
     def rx_payload(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
                    h=None) -> jnp.ndarray:
