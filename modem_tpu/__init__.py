@@ -21,7 +21,7 @@ from .gmsk import GmskChain
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
-from .ofdm import OfdmModem
+from .ofdm import OfdmChain, OfdmModem
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
 
@@ -29,7 +29,7 @@ __all__ = [
     "AcquiringReceiver", "Channelizer", "DcqpskChain", "Demodulator",
     "DifferentialChain",
     "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
-    "OfdmModem", "OqpskChain",
+    "OfdmChain", "OfdmModem", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
     "qpsk_reference_chain",

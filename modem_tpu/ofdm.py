@@ -479,3 +479,44 @@ class OfdmModem:
                   "sc_peak": jnp.take_along_axis(m, coarse[..., None],
                                                  axis=-1)[..., 0]}
         return bits, report
+
+
+class _OfdmSchemeShim:
+    def __init__(self, bits_per_symbol: int):
+        self.bits_per_symbol = bits_per_symbol
+
+
+class OfdmChain:
+    """Chain-protocol adapter: lets :class:`modem_tpu.link.FramedLink`
+    (CRC/scramble/RS/conv-or-LDPC framing) run over an OFDM PHY.
+
+    The link sees one OFDM symbol as "a symbol" carrying
+    ``modem.bits_per_sym`` bits (``scheme.bits_per_symbol`` shim), so its
+    size solving works unchanged; ``tx`` emits a full frame (preamble +
+    payload) and ``rx_soft`` re-estimates the channel from the frame's own
+    LTFs before producing the |H|^2-weighted LLRs the link decodes.
+    Requires frame-aligned waveforms (use :meth:`OfdmModem.acquire`'s
+    timing/CFO front end first for over-the-air captures).
+    """
+
+    def __init__(self, modem: OfdmModem):
+        self.modem = modem
+        self.scheme = _OfdmSchemeShim(modem.bits_per_sym)
+
+    def tx(self, bits: jnp.ndarray):
+        return self.modem.tx_frame(bits)
+
+    def rx_soft(self, iq, n_symbols: int,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        i, q = iq
+        m = self.modem
+        off = m.sym_len
+        h = m.estimate_channel(i[..., off:m.preamble_len],
+                               q[..., off:m.preamble_len])
+        return m.rx_soft_payload(i[..., m.preamble_len:],
+                                 q[..., m.preamble_len:], n_symbols, h,
+                                 noise_var=noise_var)
+
+    def rx(self, iq, n_symbols: int) -> jnp.ndarray:
+        i, q = iq
+        return self.modem.rx_frame(i, q, n_symbols)

@@ -174,6 +174,36 @@ class TestEqualizer:
         assert coded == 0
 
 
+class TestFramedLinkOverOfdm:
+    def test_ldpc_framed_link_over_faded_ofdm(self):
+        """The full production arrangement over the multicarrier PHY:
+        FramedLink (CRC + scramble + QC-LDPC + interleave) with OfdmChain
+        as the modem, through the deep-fade channel — exact payloads and
+        true CRC verdicts where hard decisions fail."""
+        from modem_tpu.fec import QcLdpc
+        from modem_tpu.link import FramedLink
+        from modem_tpu.ofdm import OfdmChain
+
+        code = QcLdpc()
+        m = _modem()  # 96 coded bits per OFDM symbol
+        # 8 LDPC codewords -> 5184 wire bits = 54 OFDM symbols exactly
+        link = FramedLink(OfdmChain(m), payload_bits=8 * code.k - 16,
+                          ldpc=code, ldpc_iters=40)
+        assert link.n_symbols == 54
+        rng = np.random.default_rng(13)
+        payload = jnp.asarray(
+            rng.integers(0, 2, (3, link.payload_bits)), jnp.int32)
+        i, q = link.tx(payload)
+        ci, cq = multipath_fir(i, q, CH_FADED_I, CH_FADED_Q)
+        snr = 16.0
+        p = float(jnp.mean(i * i + q * q))
+        ci, cq = awgn(jax.random.PRNGKey(14), ci, cq, snr, signal_power=p)
+        nv = p / (2.0 * 10.0 ** (snr / 10.0))
+        out, ok = link.rx((ci, cq), nv)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
 class TestAcquire:
     def _impair(self, i, q, offset, cfo_bins, seed=5, snr=25.0):
         m_gap = jnp.zeros(i.shape[:-1] + (offset,), i.dtype)
