@@ -62,6 +62,28 @@ class TestConstruction:
         assert not bool(jnp.any(CODE.syndrome_ok(bad)))
 
 
+class TestVariants:
+    @pytest.mark.parametrize("z,mb,nb", [
+        (27, 6, 24),    # rate 3/4, (648, 486)
+        (54, 12, 24),   # rate 1/2, (1296, 648)
+        (16, 8, 16),    # rate 1/2, short (256, 128)
+    ])
+    def test_geometry_sweep(self, z, mb, nb):
+        """The construction generalizes across rate and lifting size:
+        encode satisfies the dense-H oracle, and a noisy decode returns
+        the data (SNR chosen comfortably inside the waterfall)."""
+        code = QcLdpc(z=z, mb=mb, nb=nb, seed=3)
+        rng = np.random.default_rng(z)
+        data = jnp.asarray(rng.integers(0, 2, (3, code.k)), jnp.int32)
+        cw = code.encode(data)
+        h = _dense_h(code)
+        np.testing.assert_array_equal((np.asarray(cw) @ h.T) % 2, 0)
+        x = 1.0 - 2.0 * cw.astype(jnp.float32)
+        y = x + jnp.asarray(rng.normal(0.0, 0.28, x.shape), jnp.float32)
+        out = code.decode(2.0 * y / 0.0784, iters=30)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(data))
+
+
 class TestDecode:
     def test_noiseless(self):
         rng = np.random.default_rng(2)

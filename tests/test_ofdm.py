@@ -84,6 +84,23 @@ class TestGrid:
         assert float(err.max()) < 1e-8
         assert np.allclose(np.asarray(m2), 1.0)
 
+    def test_n_fft_256_grid(self):
+        """The grid generalizes to the MXU-native N=256 (208 used bins,
+        scaled pilots): clean frame roundtrip and blind acquisition both
+        exact."""
+        m = _modem("qam16", n_fft=256, cp=64)
+        assert m.n_fft == 256 and m.n_data == 204
+        bits = _bits(m, n_symbols=6)
+        i, q = m.tx_frame(bits)
+        out = m.rx_frame(i, q, 6)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        gap = jnp.zeros(i.shape[:-1] + (29,), i.dtype)
+        out2, rep = m.acquire(jnp.concatenate([gap, i], -1),
+                              jnp.concatenate([gap, q], -1), 6,
+                              max_lag=128)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(bits))
+        assert np.all(np.asarray(rep["start"]) == 29)
+
     def test_frame_roundtrip_clean(self):
         m = _modem()
         bits = _bits(m)
