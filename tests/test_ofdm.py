@@ -221,6 +221,36 @@ class TestFramedLinkOverOfdm:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
 
 
+class TestWidebandComposition:
+    def test_ofdm_bank_through_the_channelizer(self):
+        """One wideband antenna, M OFDM channels: synthesize 8 frames
+        into one wideband stream, analyze back, blind-acquire each —
+        exact bits. The banks' per-channel response (a ~2*J-sample
+        dispersion well inside the frame's CP budget at the default
+        taps_per_phase=12) is absorbed by the LS channel estimate; the
+        group delay by the acquisition. (A deliberately sloppy 6-tap
+        bank leaks edge-bin errors — the transition band clipping the
+        outermost subcarriers — which is why the default stays 12.)"""
+        from modem_tpu import Channelizer
+
+        m = _modem()
+        bank = Channelizer(8, taps_per_phase=12)
+        n_sym = 8
+        bits = _bits(m, channels=8, n_symbols=n_sym, seed=21)
+        i, q = m.tx_frame(bits)
+        pad = jnp.zeros((8, 128 + 64), jnp.float32)
+        ci = jnp.concatenate([i, pad], -1)
+        cq = jnp.concatenate([q, pad], -1)
+        n = ci.shape[-1] - ci.shape[-1] % 8
+        wi, wq = bank.synthesize(ci[..., :n], cq[..., :n])
+        ni, nq = awgn(jax.random.PRNGKey(22), wi, wq, 35.0)
+        ri, rq = bank.analyze(ni, nq)
+        out, rep = m.acquire(ri, rq, n_sym, max_lag=128)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        # all channels locate the same bank group delay
+        assert len(set(np.asarray(rep["start"]).tolist())) == 1
+
+
 class TestAcquire:
     def _impair(self, i, q, offset, cfo_bins, seed=5, snr=25.0):
         m_gap = jnp.zeros(i.shape[:-1] + (offset,), i.dtype)
