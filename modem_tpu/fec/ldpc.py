@@ -54,10 +54,22 @@ def _has_4cycle(entries: dict, z: int, row: int, col: int, s: int) -> bool:
 
     A 4-cycle needs rows i1 != i2 and cols j1 != j2, all four blocks
     non-zero, with ``s[i1,j1] - s[i1,j2] + s[i2,j2] - s[i2,j1] == 0
-    (mod Z)``.
+    (mod Z)``. Two cases: both columns in the data part, or one of them
+    an accumulator (parity) column — parity column ``kb+j`` carries
+    shift-0 identity blocks in rows ``j`` and ``j+1``, so it closes a
+    4-cycle with a data column exactly when that column has entries with
+    EQUAL shifts in ADJACENT rows (``s - 0 + 0 - s2 == 0``). Parity
+    columns cannot 4-cycle among themselves (adjacent ones share only
+    one row).
     """
     for (r2, c2), s22 in entries.items():
-        if r2 == row or c2 == col:
+        if c2 == col:
+            # same data column: adjacent rows + equal shifts would close
+            # a cycle through the shared accumulator column
+            if abs(r2 - row) == 1 and (s - s22) % z == 0:
+                return True
+            continue
+        if r2 == row:
             continue
         s12 = entries.get((row, c2))
         s21 = entries.get((r2, col))

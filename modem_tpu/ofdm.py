@@ -110,6 +110,13 @@ class OfdmModem:
             raise ValueError("n_fft must divide by 4 (STF periodicity)")
         if data_bins is None and pilot_bins is None:
             data_bins, pilot_bins = _default_grid(n_fft)
+        if data_bins is None:
+            raise ValueError(
+                "data_bins is required when pilot_bins is given (pass "
+                "both, or neither for the default grid)")
+        if n_ltf < 1:
+            raise ValueError("need n_ltf >= 1 (the LS channel estimate "
+                             "averages over the LTF repetitions)")
         data_bins = tuple(int(b) for b in data_bins)
         pilot_bins = tuple(int(b) for b in (pilot_bins or ()))
         if set(data_bins) & set(pilot_bins):
@@ -155,25 +162,23 @@ class OfdmModem:
         n = self.n_fft
         scale = np.float32(1.0 / np.sqrt(n))
         cd, sd = _dft_rows(n, data_bins)
-        self._tx_c = (cd * scale).astype(np.float32)   # [D, N]
-        self._tx_s = (sd * scale).astype(np.float32)
-        cu, su = _dft_rows(n, self.used_bins)
-        self._rx_c = (cu.T * scale).astype(np.float32)  # [N, U]
-        self._rx_s = (su.T * scale).astype(np.float32)
-        # Separate data/pilot RX matrices: the payload path computes the
-        # data-bin and pilot-bin spectra as two direct matmuls instead of
-        # one used-bin matmul + per-payload selection gathers (gathers
-        # lose to MXU algebra on this device — see ops.slicer.lut_map).
-        cdd, sdd = _dft_rows(n, data_bins)
-        self._rx_cd = (cdd.T * scale).astype(np.float32)  # [N, D]
-        self._rx_sd = (sdd.T * scale).astype(np.float32)
-        cpp, spp = _dft_rows(n, pilot_bins) if pilot_bins else (
-            np.zeros((0, n), np.float32), np.zeros((0, n), np.float32))
-        self._rx_cp = (cpp.T * scale).astype(np.float32)  # [N, P]
-        self._rx_sp = (spp.T * scale).astype(np.float32)
-        # Precomputed time-domain overlays/preambles (numpy, host-side).
         cp_, sp_ = _dft_rows(n, pilot_bins) if pilot_bins else (
             np.zeros((0, n), np.float32), np.zeros((0, n), np.float32))
+        cu, su = _dft_rows(n, self.used_bins)
+        self._tx_c = (cd * scale).astype(np.float32)   # [D, N]
+        self._tx_s = (sd * scale).astype(np.float32)
+        self._rx_c = (cu.T * scale).astype(np.float32)  # [N, U]
+        self._rx_s = (su.T * scale).astype(np.float32)
+        # Separate data/pilot RX matrices (transposes of the TX rows): the
+        # payload path computes the data-bin and pilot-bin spectra as two
+        # direct matmuls instead of one used-bin matmul + per-payload
+        # selection gathers (gathers lose to MXU algebra on this device —
+        # see ops.slicer.lut_map).
+        self._rx_cd = self._tx_c.T.copy()               # [N, D]
+        self._rx_sd = self._tx_s.T.copy()
+        self._rx_cp = (cp_.T * scale).astype(np.float32)  # [N, P]
+        self._rx_sp = (sp_.T * scale).astype(np.float32)
+        # Precomputed time-domain overlays/preambles (numpy, host-side).
         self._pilot_ti = scale * (self._pilot_vals @ cp_)
         self._pilot_tq = scale * (self._pilot_vals @ sp_)
         self._ltf_ti = scale * (self._ltf_vals @ cu)
@@ -186,6 +191,15 @@ class OfdmModem:
             [self.used_bins.index(b) for b in data_bins], np.int64)
         self._pilot_in_used = np.asarray(
             [self.used_bins.index(b) for b in pilot_bins], np.int64)
+        # The full CP-extended preamble (STF + n_ltf x LTF) — ONE copy,
+        # shared by tx_frame and acquire's fine-timing template so the
+        # two can never desynchronize.
+        def head(parts):
+            return np.concatenate(
+                [np.concatenate([t[-self.cp:], t]) for t in parts]
+            ).astype(np.float32)
+        self._preamble_i = head([self._stf_ti] + [self._ltf_ti] * n_ltf)
+        self._preamble_q = head([self._stf_tq] + [self._ltf_tq] * n_ltf)
 
     # ------------------------------------------------------------------
     # Frame geometry
@@ -255,16 +269,10 @@ class OfdmModem:
     def tx_frame(self, bits: jnp.ndarray):
         """Bits -> full frame: STF + n_ltf x LTF + payload."""
         pi, pq = self.tx_payload(bits)
-        head_i = np.concatenate(
-            [np.concatenate([t[-self.cp:], t])
-             for t in [self._stf_ti] + [self._ltf_ti] * self.n_ltf])
-        head_q = np.concatenate(
-            [np.concatenate([t[-self.cp:], t])
-             for t in [self._stf_tq] + [self._ltf_tq] * self.n_ltf])
-        hi = jnp.broadcast_to(jnp.asarray(head_i),
-                              pi.shape[:-1] + (head_i.size,))
-        hq = jnp.broadcast_to(jnp.asarray(head_q),
-                              pq.shape[:-1] + (head_q.size,))
+        hi = jnp.broadcast_to(jnp.asarray(self._preamble_i),
+                              pi.shape[:-1] + (self._preamble_i.size,))
+        hq = jnp.broadcast_to(jnp.asarray(self._preamble_q),
+                              pq.shape[:-1] + (self._preamble_q.size,))
         return (jnp.concatenate([hi, pi], axis=-1),
                 jnp.concatenate([hq, pq], axis=-1))
 
@@ -454,14 +462,8 @@ class OfdmModem:
         #    template scores every repetition coherently only at the true
         #    start. The CFO is already corrected, so the long coherent
         #    window is safe.
-        def with_cp(t):
-            return np.concatenate([t[-self.cp:], t])
-        tpl_i = jnp.asarray(np.concatenate(
-            [with_cp(self._stf_ti)]
-            + [with_cp(self._ltf_ti)] * self.n_ltf))
-        tpl_q = jnp.asarray(np.concatenate(
-            [with_cp(self._stf_tq)]
-            + [with_cp(self._ltf_tq)] * self.n_ltf))
+        tpl_i = jnp.asarray(self._preamble_i)
+        tpl_q = jnp.asarray(self._preamble_q)
         lags = jnp.arange(max_lag, dtype=jnp.int32)[:, None]
         ks = jnp.arange(self.preamble_len, dtype=jnp.int32)[None, :]
         idx = lags + ks  # [max_lag, preamble_len]

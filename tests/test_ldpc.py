@@ -37,8 +37,13 @@ class TestConstruction:
         degs = [d for _, d in CODE._row_slices]
         assert min(degs) >= 4 and max(degs) - min(degs) <= 2
 
-    def test_no_4cycles(self):
-        h = _dense_h(CODE)
+    @pytest.mark.parametrize("seed", [4, 6, 10, 11, 14])
+    def test_no_4cycles(self, seed):
+        """Girth >= 6 for the FULL matrix (accumulator columns included —
+        seeds 4/6/10/14 used to slip adjacent-row equal-shift data
+        entries past a data-part-only check and close 4-cycles through
+        the parity identities)."""
+        h = _dense_h(QcLdpc(seed=seed))
         gram = h @ h.T
         np.fill_diagonal(gram, 0)
         assert gram.max() <= 1  # two rows share at most one column

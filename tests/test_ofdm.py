@@ -61,6 +61,10 @@ class TestGrid:
             _modem(data_bins=(0, 1), pilot_bins=())  # DC
         with pytest.raises(ValueError):
             _modem("mfsk")  # not a LUT scheme
+        with pytest.raises(ValueError):
+            _modem(pilot_bins=(-7, 7))  # pilots without data bins
+        with pytest.raises(ValueError):
+            _modem(n_ltf=0)  # no LTF -> no channel estimate
 
     @pytest.mark.parametrize("name", ["qpsk", "qam16", "qam256", "16psk"])
     def test_payload_roundtrip_exact(self, name):
