@@ -98,12 +98,22 @@ class OfdmModem:
         52-used-bin grid (48 data + 4 pilots at N=64, scaled otherwise).
     n_ltf: number of repeated long-training symbols averaged into the LS
         channel estimate.
+    pilot_tracking: what the per-symbol pilot fit corrects —
+        ``"cpe"`` (default): common phase/gain per symbol (residual CFO)
+        via the complex pilot sum — robust at low SNR;
+        ``"sfo"``: weighted least-squares fit of ``phase = cpe +
+        slope * bin`` across the pilots, correcting sampling-clock drift
+        (which advances the per-bin linear phase a little every symbol)
+        on top of the CPE. Needs per-pilot angles to stay inside
+        (-pi, pi) over the frame — reacquire rather than track across
+        very long frames.
     """
 
     def __init__(self, scheme, n_fft: int = 64, cp: int = 16,
                  data_bins: tuple | None = None,
                  pilot_bins: tuple | None = None,
-                 n_ltf: int = 2, seed: int = 2016):
+                 n_ltf: int = 2, seed: int = 2016,
+                 pilot_tracking: str = "cpe"):
         if not hasattr(scheme, "lut"):
             raise ValueError("OFDM needs a constellation (LUT) scheme")
         if n_fft % 4:
@@ -117,6 +127,12 @@ class OfdmModem:
         if n_ltf < 1:
             raise ValueError("need n_ltf >= 1 (the LS channel estimate "
                              "averages over the LTF repetitions)")
+        if pilot_tracking not in ("cpe", "sfo"):
+            raise ValueError("pilot_tracking must be 'cpe' or 'sfo'")
+        if pilot_tracking == "sfo" and len(pilot_bins or ()) < 2:
+            raise ValueError("sfo tracking needs >= 2 pilot bins to fit "
+                             "a phase slope")
+        self.pilot_tracking = pilot_tracking
         data_bins = tuple(int(b) for b in data_bins)
         pilot_bins = tuple(int(b) for b in (pilot_bins or ()))
         if set(data_bins) & set(pilot_bins):
@@ -339,21 +355,50 @@ class OfdmModem:
             hpi = hi[..., self._pilot_in_used][..., None, :]
             hpq = hq[..., self._pilot_in_used][..., None, :]
         if self.pilot_bins:
-            # Common phase/gain per symbol from the pilots: c_s = sum_p
-            # Y[s,p] conj(H_p P_p pol_s) / sum_p |H_p P_p|^2, then divide
-            # the equalized symbols by c_s (residual CFO -> CPE tracking).
+            # Per-symbol pilot fit. ri + j*rq is the expected pilot after
+            # the channel (R = H_p * P_p * pol_s); ei + j*eq = Y * conj(R)
+            # is each pilot's residual rotation, |R|^2-weighted.
             ypi, ypq = dft(self._rx_cp, self._rx_sp)  # [..., S, P]
             pv = jnp.asarray(self._pilot_vals)
             pol = jnp.asarray(self._polarity(n_symbols))[..., :, None]
             ri = hpi * pv * pol
             rq = hpq * pv * pol
-            ci = jnp.sum(ypi * ri + ypq * rq, axis=-1, keepdims=True)
-            cq = jnp.sum(ypq * ri - ypi * rq, axis=-1, keepdims=True)
-            e = jnp.sum(ri * ri + rq * rq, axis=-1, keepdims=True)
-            m2c = jnp.maximum(ci * ci + cq * cq, 1e-24)
-            # divide by (c/e): y *= conj(c) * e / |c|^2
-            yi, yq = ((yi * ci + yq * cq) * e / m2c,
-                      (yq * ci - yi * cq) * e / m2c)
+            ei = ypi * ri + ypq * rq
+            eq = ypq * ri - ypi * rq
+            wgt = ri * ri + rq * rq
+            e = jnp.sum(wgt, axis=-1, keepdims=True)
+            if self.pilot_tracking == "sfo":
+                # Weighted LS of phase = cpe + slope*bin across pilots:
+                # sampling-clock drift advances the per-bin linear phase
+                # each symbol; the slope term takes it out.
+                phi = jnp.arctan2(eq, ei)
+                kp = jnp.asarray(np.asarray(self.pilot_bins, np.float32))
+                s1 = jnp.sum(wgt * kp, axis=-1, keepdims=True)
+                s2 = jnp.sum(wgt * kp * kp, axis=-1, keepdims=True)
+                b0 = jnp.sum(wgt * phi, axis=-1, keepdims=True)
+                b1 = jnp.sum(wgt * kp * phi, axis=-1, keepdims=True)
+                det = jnp.maximum(e * s2 - s1 * s1, 1e-24)
+                cpe = (s2 * b0 - s1 * b1) / det
+                slope = (e * b1 - s1 * b0) / det
+                amp = jnp.maximum(
+                    jnp.sum(jnp.sqrt(ei * ei + eq * eq), axis=-1,
+                            keepdims=True) / jnp.maximum(e, 1e-24),
+                    1e-12)
+                kd = jnp.asarray(np.asarray(self.data_bins, np.float32))
+                th = cpe + slope * kd  # [..., S, D]
+                c_, s_ = jnp.cos(th), jnp.sin(th)
+                yi, yq = ((yi * c_ + yq * s_) / amp,
+                          (yq * c_ - yi * s_) / amp)
+            else:
+                # Common phase/gain per symbol: c_s = sum_p Y conj(R) /
+                # sum_p |R|^2, then divide the symbol by c_s (robust
+                # complex-sum form — no per-pilot angles).
+                ci = jnp.sum(ei, axis=-1, keepdims=True)
+                cq = jnp.sum(eq, axis=-1, keepdims=True)
+                m2c = jnp.maximum(ci * ci + cq * cq, 1e-24)
+                # divide by (c/e): y *= conj(c) * e / |c|^2
+                yi, yq = ((yi * ci + yq * cq) * e / m2c,
+                          (yq * ci - yi * cq) * e / m2c)
         m2 = jnp.maximum(hdi * hdi + hdq * hdq, 1e-24)
         return ((yi * hdi + yq * hdq) / m2,
                 (yq * hdi - yi * hdq) / m2, m2[..., 0, :])

@@ -137,6 +137,41 @@ class TestEqualizer:
         out = m.rx_frame(ci, cq, N_SYM)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    def test_sfo_tracking_corrects_clock_drift(self):
+        """60 ppm sampling-clock drift (a growing fractional delay,
+        emulated with a per-sample Farrow mu) rotates the outer bins by
+        ~0.5 rad by the frame's end. The slope-fitting pilot tracker
+        recovers exact bits; the plain CPE tracker (no slope term)
+        demonstrably cannot. (Higher drift also excites the Farrow
+        emulator's own amplitude ripple on the outer bins — an artifact
+        of the test channel, so the operating point stays at 60 ppm.)"""
+        from modem_tpu.ops.impairments import farrow_delay
+
+        n_sym = 40
+        bits = None
+        results = {}
+        for mode in ("sfo", "cpe"):
+            m = _modem("qam16", pilot_tracking=mode)
+            if bits is None:
+                bits = _bits(m, n_symbols=n_sym, seed=17)
+            i, q = m.tx_frame(bits)
+            delta = 6e-5
+            mu = delta * jnp.arange(i.shape[-1], dtype=jnp.float32)
+            ci = farrow_delay(i, mu)
+            cq = farrow_delay(q, mu)
+            out = m.rx_frame(ci, cq, n_sym)
+            results[mode] = int(jnp.sum(out != bits))
+        assert results["sfo"] == 0
+        assert results["cpe"] > 0
+
+    def test_sfo_validation(self):
+        with pytest.raises(ValueError):
+            _modem(pilot_tracking="nonsense")
+        with pytest.raises(ValueError):
+            OfdmModem(make_scheme("qpsk", RATES),
+                      data_bins=tuple(range(1, 20)), pilot_bins=(20,),
+                      pilot_tracking="sfo")  # needs >= 2 pilots
+
     def test_llr_signs_match_hard_decisions_and_fade_weighting(self):
         m = _modem("qam16")
         bits = _bits(m)
