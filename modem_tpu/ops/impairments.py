@@ -141,3 +141,52 @@ def farrow_delay(x: jnp.ndarray, mu) -> jnp.ndarray:
         + l_1 * xp[..., 2:n + 2]     # x[n-1]
         + l_2 * xp[..., 3:n + 3]     # x[n]
     )
+
+
+# ---------------------------------------------------------------------------
+# Doppler fading: each path rotates at its own Doppler shift
+# ---------------------------------------------------------------------------
+
+def doppler_multipath(
+    i: jnp.ndarray,
+    q: jnp.ndarray,
+    taps_i: np.ndarray,
+    taps_q: np.ndarray,
+    doppler_hz: np.ndarray,
+    sample_rate: int,
+    n0: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Time-varying multipath: ``y[n] = sum_l h_l e^{j 2 pi f_l n / sr}
+    x[n - l]`` — each delay tap carries its own Doppler shift ``f_l``
+    (a discrete Jakes-style fading model: two paths with opposite
+    Doppler beat at the difference frequency).
+
+    TPU shaping: ``L`` static shifted copies of the input, each rotated
+    by its own phasor ramp — elementwise, no scan, no gathers. ``n0`` is
+    the block's first absolute sample index for streaming continuity.
+    Degenerates to :func:`multipath_fir` at ``doppler_hz = 0``.
+    """
+    hi = np.asarray(taps_i, np.float32)
+    hq = np.asarray(taps_q, np.float32)
+    fd = np.asarray(doppler_hz, np.float64)
+    if not (hi.shape == hq.shape == fd.shape) or hi.ndim != 1:
+        raise ValueError("taps_i, taps_q, doppler_hz must be 1-D and "
+                         "equal length")
+    n = i.shape[-1]
+    t = jnp.arange(n, dtype=jnp.float32) + jnp.float32(n0)
+    yi = jnp.zeros_like(i)
+    yq = jnp.zeros_like(q)
+    for l in range(hi.shape[0]):
+        if hi[l] == 0.0 and hq[l] == 0.0:
+            continue
+        xi = i if l == 0 else jnp.concatenate(
+            [jnp.zeros(i.shape[:-1] + (l,), i.dtype), i[..., :-l]], -1)
+        xq = q if l == 0 else jnp.concatenate(
+            [jnp.zeros(q.shape[:-1] + (l,), q.dtype), q[..., :-l]], -1)
+        th = t * jnp.float32(TWO_PI * fd[l] / sample_rate)
+        c, s = jnp.cos(th), jnp.sin(th)
+        gi = hi[l] * c - hq[l] * s   # h_l * e^{j th}
+        gq = hi[l] * s + hq[l] * c
+        yi = yi + xi * gi - xq * gq
+        yq = yq + xi * gq + xq * gi
+    return yi, yq

@@ -298,3 +298,73 @@ def test_sharded_acquisition_matches_single_device():
     got = sharded_acquire_fn(rxr, mesh, 64)(i, q)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(want), np.asarray(bits))
+
+
+class TestDopplerMultipath:
+    """Time-varying (Doppler-beating) multipath model
+    (ops/impairments.doppler_multipath)."""
+
+    H_I = np.array([0.9, 0.0, 0.3], np.float32)
+    H_Q = np.array([0.0, 0.2, -0.1], np.float32)
+
+    def test_zero_doppler_degenerates_to_static_fir(self):
+        rng = np.random.default_rng(0)
+        i = jnp.asarray(rng.normal(size=(2, 500)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(2, 500)), jnp.float32)
+        from modem_tpu.ops.impairments import doppler_multipath
+        yi, yq = doppler_multipath(i, q, self.H_I, self.H_Q,
+                                   np.zeros(3), 10000)
+        ri, rq = multipath_fir(i, q, self.H_I, self.H_Q)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(ri),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yq), np.asarray(rq),
+                                   atol=1e-5)
+
+    def test_single_tap_equals_cfo_rotation(self):
+        rng = np.random.default_rng(1)
+        i = jnp.asarray(rng.normal(size=(300,)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(300,)), jnp.float32)
+        from modem_tpu.ops.impairments import doppler_multipath
+        yi, yq = doppler_multipath(i, q, np.ones(1), np.zeros(1),
+                                   np.array([37.0]), 10000)
+        ri, rq = apply_cfo(i, q, 37.0, 10000)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(ri),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yq), np.asarray(rq),
+                                   atol=1e-5)
+
+    def test_streaming_n0_continuity(self):
+        rng = np.random.default_rng(2)
+        i = jnp.asarray(rng.normal(size=(800,)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(800,)), jnp.float32)
+        from modem_tpu.ops.impairments import doppler_multipath
+        fd = np.array([11.0, -7.0, 23.0])
+        yi, yq = doppler_multipath(i, q, self.H_I, self.H_Q, fd, 10000)
+        # chunked: the delay-line history is short (L-1=2), so feed a
+        # little overlap and compare the interior
+        y2i, y2q = doppler_multipath(i[..., 400 - 8:], q[..., 400 - 8:],
+                                     self.H_I, self.H_Q, fd, 10000,
+                                     n0=392)
+        np.testing.assert_allclose(np.asarray(y2i[..., 8:]),
+                                   np.asarray(yi[..., 400:]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y2q[..., 8:]),
+                                   np.asarray(yq[..., 400:]), atol=1e-4)
+
+    def test_ofdm_rides_a_slowly_beating_channel(self):
+        """Per-frame LS estimation + pilot CPE absorb a two-path channel
+        whose taps beat at different Doppler shifts, as long as the
+        shape drift within one frame is small — exact decisions."""
+        from modem_tpu import OfdmModem, make_scheme
+        from modem_tpu.ops.impairments import doppler_multipath
+
+        m = OfdmModem(make_scheme("qpsk", RATES))
+        rng = np.random.default_rng(3)
+        bits = jnp.asarray(
+            rng.integers(0, 2, (2, m.bits_per_frame(12))), jnp.int32)
+        i, q = m.tx_frame(bits)
+        yi, yq = doppler_multipath(
+            i, q, np.array([0.9, 0.0, 0.3], np.float32),
+            np.array([0.0, 0.2, -0.1], np.float32),
+            np.array([2e-5, -1.5e-5, 2.5e-5]), 1)
+        out = m.rx_frame(yi, yq, 12)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
