@@ -41,8 +41,6 @@ LLR convention matches the rest of the framework (positive = bit 0,
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 
 import jax.numpy as jnp
