@@ -123,3 +123,42 @@ def ber_waterfall(
         fused_ber_point(chain, s, n_symbols, channels, seed + 17 * i)
         for i, s in enumerate(snrs_db)
     ]
+
+
+def ofdm_ber_point(
+    scheme,
+    es_n0_db: float,
+    n_symbols: int = 40,
+    channels: int = 32,
+    seed: int = 0,
+) -> BerPoint:
+    """One Monte-Carlo BER point through the OFDM payload path.
+
+    With the unitary reduced-DFT grid, per-bin Es/N0 equals the
+    time-domain per-sample ratio, so OFDM over AWGN must reproduce the
+    single-carrier constellation theory exactly (``qpsk_ber_theory`` /
+    ``mqam_ber_theory`` with the natural-binary flip factor). The modem
+    is built pilotless with an ideal (known) channel so the point
+    measures the detector, not the estimators. Runs on CPU or TPU
+    (jax.random noise, not the Pallas PRNG).
+    """
+    import jax
+
+    from .ofdm import OfdmModem, _default_grid
+
+    data, pilots = _default_grid(64)
+    modem = OfdmModem(scheme, data_bins=data + pilots, pilot_bins=())
+    rng = np.random.default_rng(seed)
+    bits = jnp.asarray(
+        rng.integers(0, 2, (channels, modem.bits_per_frame(n_symbols))),
+        jnp.int32)
+    i, q = modem.tx_payload(bits)
+    es = float(np.mean(np.sum(modem.lut ** 2, axis=-1)))
+    sigma = math.sqrt(es / (10.0 ** (es_n0_db / 10.0)) / 2.0)
+    key = jax.random.key(seed + 1)
+    k1, k2 = jax.random.split(key)
+    ni = i + sigma * jax.random.normal(k1, i.shape, i.dtype)
+    nq = q + sigma * jax.random.normal(k2, q.shape, q.dtype)
+    out = modem.rx_payload(ni, nq, n_symbols)
+    errors = int(jnp.sum(out != bits))
+    return BerPoint(es_n0_db, errors, bits.size)

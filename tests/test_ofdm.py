@@ -260,6 +260,20 @@ class TestFramedLinkOverOfdm:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
 
 
+class TestBerTheory:
+    @pytest.mark.parametrize("es_n0_db", [6.0, 8.0])
+    def test_ofdm_qpsk_matches_closed_form(self, es_n0_db):
+        """Unitary grid -> per-bin Es/N0 == per-sample Es/N0, so OFDM
+        QPSK over AWGN must reproduce the single-carrier closed form."""
+        from modem_tpu.harness import ofdm_ber_point, qpsk_ber_theory
+
+        pt = ofdm_ber_point(make_scheme("qpsk", RATES), es_n0_db,
+                            seed=int(es_n0_db))
+        theory = qpsk_ber_theory(es_n0_db)
+        assert pt.bit_errors > 300  # enough statistics
+        assert 0.9 < pt.ber / theory < 1.12
+
+
 class TestWidebandComposition:
     def test_ofdm_bank_through_the_channelizer(self):
         """One wideband antenna, M OFDM channels: synthesize 8 frames
