@@ -22,11 +22,13 @@ from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
 from .ofdm import OfdmChain, OfdmModem
+from .stbc import AlamoutiOfdm
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
 
 __all__ = [
-    "AcquiringReceiver", "Channelizer", "DcqpskChain", "Demodulator",
+    "AcquiringReceiver", "AlamoutiOfdm", "Channelizer", "DcqpskChain",
+    "Demodulator",
     "DifferentialChain",
     "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OqpskChain",
