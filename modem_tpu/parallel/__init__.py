@@ -24,6 +24,7 @@ from .channelizer import (
     sharded_analyze_fn, sharded_synthesize_fn, wideband_rx_fn,
     wideband_tx_fn,
 )
+from .generic import channel_sharded
 from .mesh import make_modem_mesh
 from .ofdm import sharded_ofdm_rx_fn, sharded_ofdm_tx_fn
 from .collectives import left_halo, right_halo, exclusive_prefix
@@ -36,7 +37,7 @@ from .fsk import time_sharded_fsk_roundtrip_fn
 from .viterbi import sharded_viterbi_fn, viterbi_with_halo
 
 __all__ = [
-    "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
+    "channel_sharded", "make_modem_mesh", "left_halo", "right_halo", "exclusive_prefix",
     "fir_with_halo", "sharded_fir", "ShardedDifferentialChain",
     "ShardedPulseChain", "ShardedResampledChain",
     "sharded_acquire_fn", "sharded_analyze_fn", "sharded_synthesize_fn",

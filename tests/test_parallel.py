@@ -360,3 +360,36 @@ class TestShardedResampled:
         bits = bits_for(chain.scheme, n_sym=bad, channels=4, seed=43)
         with pytest.raises(Exception, match="multiple"):
             sharded.fused_roundtrip_fn()(sharded.shard_bits(bits))
+
+
+class TestGenericChannelSharding:
+    """parallel.generic.channel_sharded: any batched chain, one line."""
+
+    def test_gmsk_roundtrip_sharded(self):
+        from modem_tpu.gmsk import GmskChain
+        from modem_tpu.parallel import channel_sharded, make_modem_mesh
+
+        c = GmskChain(RATES, bt=0.3)
+        mesh = make_modem_mesh(ch=8)
+        rng = np.random.default_rng(31)
+        bits = jnp.asarray(rng.integers(0, 2, (8, 96)), jnp.int32)
+        ref = c.roundtrip(bits)
+        out = channel_sharded(c.roundtrip, mesh)(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    def test_stbc_rx_sharded(self):
+        from modem_tpu.parallel import channel_sharded, make_modem_mesh
+        from modem_tpu.stbc import AlamoutiOfdm
+        from modem_tpu import make_scheme
+
+        st = AlamoutiOfdm(make_scheme("qpsk", RATES))
+        mesh = make_modem_mesh(ch=8)
+        rng = np.random.default_rng(32)
+        bits = jnp.asarray(
+            rng.integers(0, 2, (8, st.bits_per_frame(4))), jnp.int32)
+        (ia, qa), (ib, qb) = st.tx(bits)
+        ci, cq = ia + ib, qa + qb
+        ref = st.rx(ci, cq, 4)
+        out = channel_sharded(lambda i, q: st.rx(i, q, 4), mesh)(ci, cq)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
