@@ -98,6 +98,10 @@ class OfdmModem:
         52-used-bin grid (48 data + 4 pilots at N=64, scaled otherwise).
     n_ltf: number of repeated long-training symbols averaged into the LS
         channel estimate.
+    channel_denoise: project the LS channel estimate onto the <= cp-tap
+        delay subspace (see :meth:`estimate_channel`) — ~5 dB of
+        estimator SNR for free on CP-equalizable channels; off by
+        default to keep the estimator assumption-free.
     pilot_tracking: what the per-symbol pilot fit corrects —
         ``"cpe"`` (default): common phase/gain per symbol (residual CFO)
         via the complex pilot sum — robust at low SNR;
@@ -113,7 +117,8 @@ class OfdmModem:
                  data_bins: tuple | None = None,
                  pilot_bins: tuple | None = None,
                  n_ltf: int = 2, seed: int = 2016,
-                 pilot_tracking: str = "cpe"):
+                 pilot_tracking: str = "cpe",
+                 channel_denoise: bool = False):
         if not hasattr(scheme, "lut"):
             raise ValueError("OFDM needs a constellation (LUT) scheme")
         if n_fft % 4:
@@ -129,6 +134,7 @@ class OfdmModem:
                              "averages over the LTF repetitions)")
         if pilot_tracking not in ("cpe", "sfo"):
             raise ValueError("pilot_tracking must be 'cpe' or 'sfo'")
+        self.channel_denoise = bool(channel_denoise)
         if pilot_tracking == "sfo" and len(pilot_bins or ()) < 2:
             raise ValueError("sfo tracking needs >= 2 pilot bins to fit "
                              "a phase slope")
@@ -207,6 +213,21 @@ class OfdmModem:
             [self.used_bins.index(b) for b in data_bins], np.int64)
         self._pilot_in_used = np.asarray(
             [self.used_bins.index(b) for b in pilot_bins], np.int64)
+        # Delay-subspace projector for channel-estimate denoising: any
+        # physical channel the CP can absorb has <= cp taps, so the true
+        # H lives in the cp-dimensional column space of F[u, l] =
+        # e^{-j 2 pi k_u l / N}. P = F (F^H F)^-1 F^H projects the LS
+        # estimate onto it — one Hermitian [U, U] matmul that averages
+        # the per-bin estimation noise down by ~U/cp (~5 dB at the
+        # default grid).
+        ku = np.asarray(self.used_bins, np.float64)[:, None]
+        ll = np.arange(self.cp, dtype=np.float64)[None, :]
+        f = np.exp(-2j * np.pi * ku * ll / n)
+        proj = f @ np.linalg.pinv(f)
+        self._denoise_re = np.ascontiguousarray(
+            proj.T.real.astype(np.float32))
+        self._denoise_im = np.ascontiguousarray(
+            proj.T.imag.astype(np.float32))
         # The full CP-extended preamble (STF + n_ltf x LTF) — ONE copy,
         # shared by tx_frame and acquire's fine-timing template so the
         # two can never desynchronize.
@@ -315,17 +336,32 @@ class OfdmModem:
         yq = xq @ rc - xi @ rs
         return yi, yq
 
-    def estimate_channel(self, i: jnp.ndarray, q: jnp.ndarray):
+    def estimate_channel(self, i: jnp.ndarray, q: jnp.ndarray,
+                         denoise: bool | None = None):
         """LS channel estimate from the aligned LTF section.
 
         ``i, q [..., n_ltf*sym_len]`` starting at LTF symbol 0's CP.
         Returns per-used-bin ``(hi, hq) [..., U]`` (averaged over the
         repetitions; the LTF loading is BPSK so conj(L)/|L|^2 == L).
+
+        ``denoise=True`` projects the estimate onto the subspace of
+        channels with <= ``cp`` delay taps (one [U, U] matmul): exact for
+        every channel the CP can equalize anyway, and it averages the
+        per-bin estimation noise down by ~U/cp — worth ~5 dB of
+        estimator SNR at the default grid.
         """
+        if denoise is None:
+            denoise = self.channel_denoise
         xi, xq = self._strip_cp(i, q, self.n_ltf)
         yi, yq = self._dft_used(xi, xq)
         li = jnp.asarray(self._ltf_vals)
-        return jnp.mean(yi * li, axis=-2), jnp.mean(yq * li, axis=-2)
+        hi = jnp.mean(yi * li, axis=-2)
+        hq = jnp.mean(yq * li, axis=-2)
+        if denoise:
+            pr = jnp.asarray(self._denoise_re)
+            pi_ = jnp.asarray(self._denoise_im)
+            hi, hq = hi @ pr - hq @ pi_, hi @ pi_ + hq @ pr
+        return hi, hq
 
     def _equalize(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
                   h=None):

@@ -137,6 +137,49 @@ class TestEqualizer:
         out = m.rx_frame(ci, cq, N_SYM)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    def test_channel_denoise_projection(self):
+        """Delay-subspace denoising: exact (to fp) on a CP-short channel
+        without noise, and at low SNR it cuts decision errors vs the raw
+        LS estimate."""
+        m = _modem("qam16", channel_denoise=True)
+        bits = _bits(m, channels=4, seed=19)
+        i, q = m.tx_frame(bits)
+        ci, cq = multipath_fir(i, q, CH_MILD_I, CH_MILD_Q)
+        # noiseless: projection must not move a cp-short channel
+        off, nl = m.sym_len, m.n_ltf * m.sym_len
+        hr = m.estimate_channel(ci[..., off:off + nl],
+                                cq[..., off:off + nl], denoise=False)
+        hd = m.estimate_channel(ci[..., off:off + nl],
+                                cq[..., off:off + nl], denoise=True)
+        np.testing.assert_allclose(np.asarray(hd[0]), np.asarray(hr[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(hd[1]), np.asarray(hr[1]),
+                                   atol=1e-4)
+        # noisy: the projection averages estimation noise down by ~U/cp
+        # (52/16 ~ 5 dB) — measure the estimator MSE against the TRUE
+        # per-bin channel
+        taps = (CH_MILD_I + 1j * CH_MILD_Q)
+        k = np.asarray(m.used_bins)[:, None]
+        h_true = (taps[None, :] * np.exp(
+            -2j * np.pi * k * np.arange(taps.size)[None, :] / m.n_fft)
+        ).sum(-1)
+        ni, nq = awgn(jax.random.PRNGKey(20), ci, cq, 12.0)
+        hr = m.estimate_channel(ni[..., off:off + nl],
+                                nq[..., off:off + nl], denoise=False)
+        hd = m.estimate_channel(ni[..., off:off + nl],
+                                nq[..., off:off + nl], denoise=True)
+
+        def mse(h):
+            e = (np.asarray(h[0]) + 1j * np.asarray(h[1])) - h_true
+            return float(np.mean(np.abs(e) ** 2))
+
+        assert mse(hd) < 0.45 * mse(hr)
+        # and decisions can only improve
+        raw = _modem("qam16", channel_denoise=False)
+        errs_raw = int(jnp.sum(raw.rx_frame(ni, nq, N_SYM) != bits))
+        errs_den = int(jnp.sum(m.rx_frame(ni, nq, N_SYM) != bits))
+        assert errs_den <= errs_raw
+
     def test_sfo_tracking_corrects_clock_drift(self):
         """60 ppm sampling-clock drift (a growing fractional delay,
         emulated with a per-sample Farrow mu) rotates the outer bins by
