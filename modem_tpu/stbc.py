@@ -55,12 +55,13 @@ class AlamoutiOfdm:
     """
 
     def __init__(self, scheme, n_fft: int = 64, cp: int = 16,
-                 seed: int = 2016):
+                 seed: int = 2016, **modem_kwargs):
         data, pilots = _default_grid(n_fft)
-        # pilotless inner modem with a single LTF per antenna slot
+        # pilotless inner modem with a single LTF per antenna slot;
+        # extra kwargs (e.g. channel_denoise=True) pass through
         self.m = OfdmModem(scheme, n_fft=n_fft, cp=cp,
                            data_bins=data + pilots, pilot_bins=(),
-                           n_ltf=1, seed=seed)
+                           n_ltf=1, seed=seed, **modem_kwargs)
         self.bits_per_pair = 2 * self.m.bits_per_sym
 
     @property
