@@ -15,6 +15,9 @@ class BASK(Scheme):
 
     def __init__(self, amplitude: float):
         self.amplitude = amplitude
+        #: 2-point constellation table — lets BASK ride every LUT-driven
+        #: surface (PulseShapedChain, OFDM, STBC, slicers, LLRs)
+        self.lut = np.array([[0.0, 0.0], [amplitude, 0.0]], np.float32)
 
     def program(self, symbols, state, rates, t0_mod):
         i = symbols.astype(jnp.float32) * jnp.float32(self.amplitude)

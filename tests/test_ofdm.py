@@ -105,6 +105,32 @@ class TestGrid:
         np.testing.assert_array_equal(np.asarray(out2), np.asarray(bits))
         assert np.all(np.asarray(rep["start"]) == 29)
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_grid_property(self, seed):
+        """Any legal grid (random FFT size, random data/pilot bin subsets,
+        random LUT scheme) must roundtrip exactly and blind-acquire."""
+        rng = np.random.default_rng(100 + seed)
+        n_fft = int(rng.choice([32, 64, 128]))
+        half = n_fft // 2 - 1
+        bins = list(range(-half, 0)) + list(range(1, half + 1))
+        rng.shuffle(bins)
+        n_used = int(rng.integers(8, len(bins)))
+        used = bins[:n_used]
+        n_pil = int(rng.integers(2, 5))
+        pilots = tuple(used[:n_pil])
+        data = tuple(used[n_pil:])
+        name = str(rng.choice(["qpsk", "qam16", "16psk", "bask"]))
+        m = OfdmModem(make_scheme(name, RATES), n_fft=n_fft,
+                      cp=n_fft // 4, data_bins=data, pilot_bins=pilots)
+        bits = _bits(m, channels=2, n_symbols=6, seed=seed)
+        i, q = m.tx_frame(bits)
+        out = m.rx_frame(i, q, 6)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        gap = jnp.zeros(i.shape[:-1] + (17,), i.dtype)
+        out2, _ = m.acquire(jnp.concatenate([gap, i], -1),
+                            jnp.concatenate([gap, q], -1), 6, max_lag=64)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(bits))
+
     def test_frame_roundtrip_clean(self):
         m = _modem()
         bits = _bits(m)
