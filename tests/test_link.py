@@ -126,3 +126,27 @@ class TestFramedLink:
         out, ok = loop(payload)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
         assert np.asarray(ok).all()
+
+
+class TestSizeSolverFuzz:
+    def test_random_payload_sizes_construct_or_raise_cleanly(self):
+        """Any payload size either builds a consistent link (validated by
+        a noiseless exact roundtrip) or raises an actionable ValueError —
+        never a shape crash deeper in the stack."""
+        chain = qpsk_reference_chain(RATES)
+        rng = np.random.default_rng(0)
+        built = 0
+        for p in rng.integers(50, 3000, size=40):
+            try:
+                link = FramedLink(chain, payload_bits=int(p))
+            except ValueError:
+                continue
+            built += 1
+            payload = jnp.asarray(
+                rng.integers(0, 2, (1, link.payload_bits)), jnp.int32)
+            i, q = link.tx(payload)
+            out, ok = link.rx((i, q), 1e-4)
+            assert bool(np.asarray(ok).all())
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(payload))
+        assert built >= 5  # the solver accepts a healthy fraction
