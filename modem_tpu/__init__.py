@@ -17,6 +17,7 @@ from .chain import (
     DcqpskChain, DifferentialChain, FskChain, MskChain, OqpskChain,
     PulseShapedChain, qpsk_reference_chain,
 )
+from .dsss import DsssChain
 from .gmsk import GmskChain
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
@@ -29,7 +30,7 @@ from .wideband import WidebandModem
 __all__ = [
     "AcquiringReceiver", "AlamoutiOfdm", "Channelizer", "DcqpskChain",
     "Demodulator",
-    "DifferentialChain",
+    "DifferentialChain", "DsssChain",
     "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
