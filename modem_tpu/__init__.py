@@ -18,6 +18,7 @@ from .chain import (
     PulseShapedChain, qpsk_reference_chain,
 )
 from .dsss import DsssChain
+from .fhss import FhssModem
 from .gmsk import GmskChain
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
@@ -31,7 +32,7 @@ __all__ = [
     "AcquiringReceiver", "AlamoutiOfdm", "Channelizer", "DcqpskChain",
     "Demodulator",
     "DifferentialChain", "DsssChain",
-    "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
+    "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
