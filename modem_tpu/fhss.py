@@ -86,6 +86,9 @@ class FhssModem:
         yi, yq = self.bank.analyze(wi, wq)
         mag = np.asarray(yi)[0] ** 2 + np.asarray(yq)[0] ** 2
         delay = int(np.argmax(mag)) - t0
+        if delay < 0:
+            raise RuntimeError("bank calibration found a negative group "
+                               "delay — probe window too short?")
         dc = zi.copy()
         dc[0, :] = 1.0
         wi, wq = self.bank.synthesize(jnp.asarray(dc), jnp.asarray(zi))
