@@ -115,3 +115,41 @@ def test_batched_stateful_channels():
     for c in range(3):
         want = golden_modulate("mfsk", bits[c], SR, BR, CF, mode="passband")
         np.testing.assert_allclose(np.asarray(wave[c]), want, atol=3e-4)
+
+
+class TestGrayQam:
+    """QAM(gray=True): production Gray mapping next to the reference's
+    natural-binary map (`qam.rs:32-38`, kept as the default)."""
+
+    def test_adjacent_points_differ_in_one_bit(self):
+        from modem_tpu.models.qam import QAM
+
+        q = QAM(4, 0.0, 1.0, gray=True)
+        lut = q.lut
+        d2 = ((lut[:, None, :] - lut[None, :, :]) ** 2).sum(-1)
+        dmin = d2[d2 > 1e-9].min()
+        sym = np.arange(16)
+        for a in range(16):
+            for b in range(a + 1, 16):
+                if abs(d2[a, b] - dmin) < 1e-9:
+                    assert bin(a ^ b).count("1") == 1
+
+    def test_gray_beats_natural_binary_ber(self):
+        from modem_tpu.harness import ofdm_ber_point
+        from modem_tpu.models.qam import QAM
+
+        nat = ofdm_ber_point(QAM(4, 0.0, 1.0), 14.0, seed=1)
+        gray = ofdm_ber_point(QAM(4, 0.0, 1.0, gray=True), 14.0, seed=1)
+        assert nat.bit_errors > 200  # statistics
+        assert gray.bit_errors < 0.85 * nat.bit_errors
+
+    def test_roundtrip_exact(self):
+        from modem_tpu.chain import PulseShapedChain
+        from modem_tpu.models.qam import QAM
+
+        chain = PulseShapedChain(QAM(6, 0.0, 1.0, gray=True),
+                                 Rates(1250, 10000))
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 64 * 6)), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(chain.roundtrip(bits)), np.asarray(bits))
