@@ -65,12 +65,26 @@ class QPSK(Scheme):
 
 
 class MPSK(Scheme):
-    """M-ary PSK: phase = 2*pi*sym/M + offset (`mpsk.rs:23-41`)."""
+    """M-ary PSK: phase = 2*pi*sym/M + offset (`mpsk.rs:23-41`).
 
-    def __init__(self, bits_per_symbol: int, phase_offset: float, amplitude: float):
+    ``gray=True`` Gray-codes the phase index so neighboring points on
+    the circle differ in one bit (production mapping); the default stays
+    the reference's natural order for parity."""
+
+    def __init__(self, bits_per_symbol: int, phase_offset: float,
+                 amplitude: float, gray: bool = False):
         self.bits_per_symbol = bits_per_symbol
+        self.gray = bool(gray)
         m = 1 << bits_per_symbol
-        ph = TWO_PI * np.arange(m) / m + phase_offset
+        idx = np.arange(m)
+        if gray:
+            s = idx.copy()
+            shift = 1
+            while (1 << shift) < m:
+                s = s ^ (s >> shift)
+                shift *= 2
+            idx = s
+        ph = TWO_PI * idx / m + phase_offset
         self.lut = np.stack(
             [amplitude * np.cos(ph), amplitude * np.sin(ph)], axis=-1
         ).astype(np.float32)

@@ -153,3 +153,23 @@ class TestGrayQam:
         bits = jnp.asarray(rng.integers(0, 2, (2, 64 * 6)), jnp.int32)
         np.testing.assert_array_equal(
             np.asarray(chain.roundtrip(bits)), np.asarray(bits))
+
+
+class TestGrayMpsk:
+    def test_circle_neighbors_differ_in_one_bit(self):
+        from modem_tpu.models.psk import MPSK
+
+        p = MPSK(4, 0.0, 1.0, gray=True)
+        ang = np.arctan2(p.lut[:, 1], p.lut[:, 0])
+        order = np.argsort(ang)  # walk the circle
+        for a, b in zip(order, np.roll(order, -1)):
+            assert bin(int(a) ^ int(b)).count("1") == 1
+
+    def test_roundtrip_and_ber_gain(self):
+        from modem_tpu.harness import ofdm_ber_point
+        from modem_tpu.models.psk import MPSK
+
+        nat = ofdm_ber_point(MPSK(4, 0.0, 1.0), 14.0, seed=2)
+        gray = ofdm_ber_point(MPSK(4, 0.0, 1.0, gray=True), 14.0, seed=2)
+        assert nat.bit_errors > 200
+        assert gray.bit_errors < 0.8 * nat.bit_errors
