@@ -176,6 +176,14 @@ class AlamoutiOfdm:
         bits = unpack_symbols(syms, self.m.bits_per_symbol)
         return bits.reshape(bits.shape[:-2] + (-1,))
 
+    def as_link_chain(self):
+        """Chain-protocol adapter so :class:`modem_tpu.link.FramedLink`
+        runs over the STBC PHY (one "symbol" = one Alamouti pair =
+        ``bits_per_pair`` bits). The link's waveform stays the adapter's
+        opaque pair of antenna streams until the user's channel combines
+        them; ``rx`` takes the combined single-antenna capture."""
+        return _StbcChain(self)
+
     def rx_soft(self, i: jnp.ndarray, q: jnp.ndarray, n_pairs: int,
                 noise_var: float = 1.0) -> jnp.ndarray:
         """Diversity-weighted max-log LLRs: after combining, the
@@ -187,3 +195,29 @@ class AlamoutiOfdm:
                        axis=-1, total_repeat_length=m.bits_per_sym)
         llr = llr * w[..., None, :]
         return llr.reshape(llr.shape[:-2] + (-1,))
+
+
+class _StbcScheme:
+    def __init__(self, bits_per_symbol: int):
+        self.bits_per_symbol = bits_per_symbol
+
+
+class _StbcChain:
+    """FramedLink adapter for :class:`AlamoutiOfdm` (see
+    :meth:`AlamoutiOfdm.as_link_chain`)."""
+
+    def __init__(self, stbc: AlamoutiOfdm):
+        self.stbc = stbc
+        self.scheme = _StbcScheme(stbc.bits_per_pair)
+
+    def tx(self, bits: jnp.ndarray):
+        return self.stbc.tx(bits)
+
+    def rx_soft(self, iq, n_pairs: int,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        i, q = iq
+        return self.stbc.rx_soft(i, q, n_pairs, noise_var=noise_var)
+
+    def rx(self, iq, n_pairs: int) -> jnp.ndarray:
+        i, q = iq
+        return self.stbc.rx(i, q, n_pairs)
