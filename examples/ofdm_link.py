@@ -12,15 +12,11 @@ crushes are exactly where channel-weighted LLRs + LDPC earn their keep:
       -> channel: unknown delay + CFO + gain/phase + deep-fade multipath
          + AWGN                                     ops/impairments.py
       -> blind acquisition (Schmidl&Cox coarse timing + closed-form CFO,
-         full-preamble fine timing)                 ofdm.OfdmModem.acquire*
+         full-preamble fine timing)                 ofdm.OfdmModem.acquire_soft
       -> LS channel estimate (LTFs), one-tap equalizer, pilot CPE
-      -> |H|^2-weighted LLRs                        ofdm.rx_soft_payload
+      -> |H|^2-weighted LLRs                        (same call)
       -> min-sum decode                             fec/ldpc.py
       -> data bits
-
-(*this example drives the stages through acquire's aligned internals so
-the LLR path sees the located frame — mirroring OfdmModem.acquire, which
-returns hard bits.)
 
 Run: python examples/ofdm_link.py          (TPU or CPU)
 """
@@ -72,28 +68,16 @@ def main():
                   signal_power=p)
     nv = p / (2.0 * 10.0 ** (SNR_DB / 10.0))
 
-    # Blind hard path (what OfdmModem.acquire returns directly)
+    # Blind hard path (what OfdmModem.acquire returns directly) and the
+    # soft twin in one call each
     hard, rep = modem.acquire(ci, cq, n_sym, max_lag=96)
-    # Soft path at the located frame: re-derive the aligned capture the
-    # way acquire does, then take weighted LLRs instead of hard bits.
-    n = jnp.arange(ci.shape[-1], dtype=jnp.float32)
-    th = -rep["cfo_rad_per_sample"][..., None] * n
-    c, s = jnp.cos(th), jnp.sin(th)
-    di = ci * c - cq * s
-    dq = ci * s + cq * c
-    fidx = rep["start"][..., None] + jnp.arange(
-        modem.frame_len(n_sym), dtype=jnp.int32)
-    fi = jnp.take_along_axis(di, fidx, axis=-1)
-    fq = jnp.take_along_axis(dq, fidx, axis=-1)
-    off = modem.sym_len
-    h = modem.estimate_channel(
-        fi[..., off:off + modem.n_ltf * modem.sym_len],
-        fq[..., off:off + modem.n_ltf * modem.sym_len])
-    llr = modem.rx_soft_payload(
-        fi[..., modem.preamble_len:], fq[..., modem.preamble_len:],
-        n_sym, h, noise_var=nv)
+    llr, _ = modem.acquire_soft(ci, cq, n_sym, max_lag=96, noise_var=nv)
     dec = code.decode(llr.reshape(CHANNELS, n_cw, code.n), iters=40)
 
+    fi, fq, _ = modem.locate_frame(ci, cq, n_sym, max_lag=96)
+    off = modem.sym_len
+    h = modem.estimate_channel(fi[..., off:modem.preamble_len],
+                               fq[..., off:modem.preamble_len])
     hard_errs = int(jnp.sum(hard != coded))
     coded_errs = int(jnp.sum(dec != data))
     hi, hq = h

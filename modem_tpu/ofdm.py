@@ -508,16 +508,13 @@ class OfdmModem:
         m = (ps_i * ps_i + ps_q * ps_q) / jnp.maximum(es * es, 1e-24)
         return m, ps_i, ps_q
 
-    def acquire(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
-                max_lag: int):
-        """Blind RX: unknown frame start in ``[0, max_lag)``, CFO up to
-        ±2 subcarriers, flat gain/phase and any CP-short multipath.
-
-        Returns ``(bits, report)``; ``report`` carries the located frame
-        start, the fractional-CFO estimate (rad/sample), and the S&C
-        metric peak. Waveforms shorter than the last candidate frame end
-        are zero-padded (silence after the frame).
-        """
+    def locate_frame(self, i: jnp.ndarray, q: jnp.ndarray,
+                     n_symbols: int, max_lag: int):
+        """The blind front end shared by :meth:`acquire` and
+        :meth:`acquire_soft`: S&C coarse timing + closed-form fractional
+        CFO, derotation, full-preamble fine timing, and the aligned-frame
+        gather. Returns ``(fi, fq, report)`` — the CFO-corrected frame at
+        the located start plus the sync report."""
         need = max_lag + self.frame_len(n_symbols)
         if i.shape[-1] < need:
             pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],), i.dtype)
@@ -557,11 +554,38 @@ class OfdmModem:
         fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
         fi = jnp.take_along_axis(ci, fidx, axis=-1)
         fq = jnp.take_along_axis(cq, fidx, axis=-1)
-        bits = self.rx_frame(fi, fq, n_symbols)
         report = {"start": start, "cfo_rad_per_sample": cfo[..., 0],
                   "sc_peak": jnp.take_along_axis(m, coarse[..., None],
                                                  axis=-1)[..., 0]}
-        return bits, report
+        return fi, fq, report
+
+    def acquire(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
+                max_lag: int):
+        """Blind RX: unknown frame start in ``[0, max_lag)``, CFO up to
+        ±2 subcarriers, flat gain/phase and any CP-short multipath.
+
+        Returns ``(bits, report)``; ``report`` carries the located frame
+        start, the fractional-CFO estimate (rad/sample), and the S&C
+        metric peak. Waveforms shorter than the last candidate frame end
+        are zero-padded (silence after the frame).
+        """
+        fi, fq, report = self.locate_frame(i, q, n_symbols, max_lag)
+        return self.rx_frame(fi, fq, n_symbols), report
+
+    def acquire_soft(self, i: jnp.ndarray, q: jnp.ndarray,
+                     n_symbols: int, max_lag: int,
+                     noise_var: float = 1.0):
+        """Blind RX to channel-weighted LLRs (the soft twin of
+        :meth:`acquire`): locate, estimate the channel from the frame's
+        own LTFs, and return ``(llrs, report)`` for downstream FEC."""
+        fi, fq, report = self.locate_frame(i, q, n_symbols, max_lag)
+        off = self.sym_len
+        h = self.estimate_channel(fi[..., off:self.preamble_len],
+                                  fq[..., off:self.preamble_len])
+        llrs = self.rx_soft_payload(fi[..., self.preamble_len:],
+                                    fq[..., self.preamble_len:],
+                                    n_symbols, h, noise_var=noise_var)
+        return llrs, report
 
 
 class _OfdmSchemeShim:

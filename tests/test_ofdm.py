@@ -398,6 +398,19 @@ class TestAcquire:
             np.abs(np.asarray(rep["cfo_rad_per_sample"]) - cfo_true)
             < 0.03 * 2 * np.pi / 64.0)
 
+    def test_acquire_soft_agrees_with_hard(self):
+        m = _modem()
+        bits = _bits(m, channels=2, seed=33)
+        i, q = m.tx_frame(bits)
+        ci, cq = self._impair(i, q, offset=25, cfo_bins=0.5)
+        hard, _ = m.acquire(ci, cq, N_SYM, max_lag=64)
+        llr, rep = m.acquire_soft(ci, cq, N_SYM, max_lag=64,
+                                  noise_var=1e-2)
+        assert llr.shape == bits.shape
+        np.testing.assert_array_equal(
+            np.asarray(llr_hard_bits(llr)), np.asarray(hard))
+        assert np.all(np.abs(np.asarray(rep["start"]) - 25) <= 4)
+
     def test_acquire_pads_short_capture(self):
         m = _modem()
         bits = _bits(m, channels=1)

@@ -378,6 +378,18 @@ class TestGenericChannelSharding:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    def test_dsss_roundtrip_sharded(self):
+        from modem_tpu.dsss import DsssChain
+        from modem_tpu import make_scheme
+        from modem_tpu.parallel import channel_sharded, make_modem_mesh
+
+        c = DsssChain(make_scheme("qpsk", RATES), RATES, 16)
+        mesh = make_modem_mesh(ch=8)
+        rng = np.random.default_rng(33)
+        bits = jnp.asarray(rng.integers(0, 2, (8, 64)), jnp.int32)
+        out = channel_sharded(c.roundtrip, mesh)(bits)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
     def test_stbc_rx_sharded(self):
         from modem_tpu.parallel import channel_sharded, make_modem_mesh
         from modem_tpu.stbc import AlamoutiOfdm
