@@ -68,16 +68,18 @@ def main():
                   signal_power=p)
     nv = p / (2.0 * 10.0 ** (SNR_DB / 10.0))
 
-    # Blind hard path (what OfdmModem.acquire returns directly) and the
-    # soft twin in one call each
-    hard, rep = modem.acquire(ci, cq, n_sym, max_lag=96)
-    llr, _ = modem.acquire_soft(ci, cq, n_sym, max_lag=96, noise_var=nv)
-    dec = code.decode(llr.reshape(CHANNELS, n_cw, code.n), iters=40)
-
-    fi, fq, _ = modem.locate_frame(ci, cq, n_sym, max_lag=96)
+    # ONE blind front-end pass; hard bits, channel estimate, and LLRs
+    # all read from the located frame
+    fi, fq, rep = modem.locate_frame(ci, cq, n_sym, max_lag=96)
     off = modem.sym_len
     h = modem.estimate_channel(fi[..., off:modem.preamble_len],
                                fq[..., off:modem.preamble_len])
+    hard = modem.rx_payload(fi[..., modem.preamble_len:],
+                            fq[..., modem.preamble_len:], n_sym, h)
+    llr = modem.rx_soft_payload(fi[..., modem.preamble_len:],
+                                fq[..., modem.preamble_len:], n_sym, h,
+                                noise_var=nv)
+    dec = code.decode(llr.reshape(CHANNELS, n_cw, code.n), iters=40)
     hard_errs = int(jnp.sum(hard != coded))
     coded_errs = int(jnp.sum(dec != data))
     hi, hq = h

@@ -194,7 +194,10 @@ class PulseShapedChain:
         from .ops.pallas_txrx import qam_mparams
 
         bps = self.scheme.bits_per_symbol
-        if isinstance(self.scheme, QAM) and bps % 2 == 0:
+        # the algebraic map hard-codes the natural-binary level map, so
+        # Gray-coded QAM must take the LUT path
+        if (isinstance(self.scheme, QAM) and bps % 2 == 0
+                and not self.scheme.gray):
             return None, qam_mparams(bps, self.scheme.phase,
                                      self.scheme.amplitude)
         return self.lut, None
@@ -272,8 +275,10 @@ class PulseShapedChain:
                   if self.carrier_hz is not None else None)
         bps = self.scheme.bits_per_symbol
         syms = pack_bits(bits, bps)
-        if isinstance(self.scheme, QAM) and bps % 2 == 0:
-            # algebraic map/slice: O(1) in constellation size (256-QAM etc.)
+        if (isinstance(self.scheme, QAM) and bps % 2 == 0
+                and not self.scheme.gray):
+            # algebraic map/slice: O(1) in constellation size (256-QAM
+            # etc.); natural-binary only — Gray QAM uses the LUT kernel
             dec = fused_pulse_chain_qam(
                 syms, bps, self.scheme.phase, self.scheme.amplitude,
                 np.asarray(self.rrc), self.sps, self.span, **pb,

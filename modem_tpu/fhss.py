@@ -59,8 +59,17 @@ class FhssModem:
         self._hop_onehot = np.zeros((hop.size, m), np.float32)
         self._hop_onehot[np.arange(hop.size), hop] = 1.0
         # chain waveform length per dwell + a guard of bank-transient
-        # length so consecutive hops cannot smear into each other
-        self._wave_len = (dwell_symbols + chain.span) * chain.sps
+        # length so consecutive hops cannot smear into each other.
+        # Probed abstractly (eval_shape: no device work) rather than
+        # assumed, so ANY bits->bits chain works — DSSS, GMSK, etc.
+        # produce more than (symbols + span) * sps samples per dwell.
+        import jax
+
+        probe = jax.ShapeDtypeStruct(
+            (1, dwell_symbols * chain.scheme.bits_per_symbol), jnp.int32)
+        out = jax.eval_shape(chain.tx, probe)
+        wave = jax.tree.leaves(out)[0]
+        self._wave_len = int(wave.shape[-1])
         self._guard = 2 * taps_per_phase
         self._dwell_len = self._wave_len + self._guard
         self._cal = None  # (delay, gi, gq), probed lazily

@@ -99,7 +99,8 @@ def fused_ber_point(
     )
     kwargs = dict(rrc_taps=np.asarray(chain.rrc), sps=chain.sps,
                   span=chain.span, snr_db=snr_db, seed=seed + 1)
-    if isinstance(chain.scheme, QAM) and bps % 2 == 0:
+    if (isinstance(chain.scheme, QAM) and bps % 2 == 0
+            and not chain.scheme.gray):  # algebraic path = natural binary
         dec = fused_pulse_chain_qam(
             syms, bps, chain.scheme.phase, chain.scheme.amplitude, **kwargs
         )

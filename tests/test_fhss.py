@@ -76,6 +76,19 @@ class TestFhss:
         assert np.all(errs[:, [1, 3]] > 5)       # jammed dwells die
         assert np.all(errs[:, [0, 2, 4, 5]] == 0)  # others untouched
 
+    def test_hybrid_ds_fh_spread_spectrum(self):
+        """FHSS over a DSSS chain — hybrid DS/FH, composable because the
+        hopper probes the wrapped chain's actual waveform length
+        (eval_shape) instead of assuming the pulse-shaped formula."""
+        from modem_tpu.dsss import DsssChain
+
+        ds = DsssChain(make_scheme("qpsk", RATES), RATES, 8)
+        fm = FhssModem(ds, m=8, hop_seq=[2, 7, 4], dwell_symbols=16)
+        bits = _bits(fm, seed=9)
+        wi, wq = fm.tx(bits)
+        out = fm.rx(wi, wq)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
     def test_validation(self):
         chain = PulseShapedChain(make_scheme("qpsk", RATES), RATES)
         with pytest.raises(ValueError):

@@ -173,3 +173,23 @@ class TestGrayMpsk:
         gray = ofdm_ber_point(MPSK(4, 0.0, 1.0, gray=True), 14.0, seed=2)
         assert nat.bit_errors > 200
         assert gray.bit_errors < 0.8 * nat.bit_errors
+
+
+class TestGrayFusedConsistency:
+    def test_gray_qam_excluded_from_algebraic_fast_path(self):
+        """The algebraic fused QAM kernels hard-code the natural-binary
+        level map, so gray=True must route through the LUT kernel —
+        and the fused roundtrip must agree with the staged one."""
+        from modem_tpu.chain import PulseShapedChain
+        from modem_tpu.models.qam import QAM
+
+        r = Rates(1250, 10000)
+        gray = PulseShapedChain(QAM(4, 0.0, 1.0, gray=True), r)
+        nat = PulseShapedChain(QAM(4, 0.0, 1.0), r)
+        assert gray._txrx_params()[1] is None      # LUT path
+        assert nat._txrx_params()[1] is not None   # algebraic path
+        rng = np.random.default_rng(5)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 64 * 4)), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(gray.roundtrip_fused(bits)),
+            np.asarray(gray.roundtrip(bits)))

@@ -101,9 +101,8 @@ class TestAlamouti:
 
     def test_validation(self):
         st = _stbc()
-        with pytest.raises(ValueError):
-            # odd symbol count cannot pair
-            st.m.map_bits(jnp.zeros((1, st.m.bits_per_sym), jnp.int32))
+        # odd symbol count cannot pair
+        with pytest.raises(ValueError, match="even number"):
             st.tx(jnp.zeros((1, st.m.bits_per_sym), jnp.int32))
 
 
