@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .ops.channelizer import Channelizer
@@ -61,10 +62,9 @@ class FhssModem:
         # chain waveform length per dwell + a guard of bank-transient
         # length so consecutive hops cannot smear into each other.
         # Probed abstractly (eval_shape: no device work) rather than
-        # assumed, so ANY bits->bits chain works — DSSS, GMSK, etc.
-        # produce more than (symbols + span) * sps samples per dwell.
-        import jax
-
+        # assumed, so ANY chain-protocol object works — e.g. a DSSS
+        # chain emits (symbols*L + span)*sps samples per dwell, not
+        # (symbols + span)*sps.
         probe = jax.ShapeDtypeStruct(
             (1, dwell_symbols * chain.scheme.bits_per_symbol), jnp.int32)
         out = jax.eval_shape(chain.tx, probe)
