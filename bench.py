@@ -27,14 +27,114 @@ Methodology notes (this environment's TPU sits behind an async tunnel whose
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 ``vs_baseline`` relative to the 1e9 samples/s/chip target (BASELINE.md; the
 reference publishes no numbers — SURVEY.md section 6).
+
+Robustness (the tunnel can *hang* — block forever without erroring — or die
+with ``Unable to initialize backend 'axon': UNAVAILABLE``): when invoked
+normally this script acts as a thin orchestrator that re-executes itself as
+a child subprocess (``BENCH_CHILD=1``) under a hard wall-clock deadline. The
+parent never imports jax, so it cannot hang; it guarantees exactly one JSON
+line on stdout on EVERY exit path:
+
+* child prints a valid JSON line -> forwarded verbatim;
+* child crashes with a backend-init ``UNAVAILABLE`` -> ONE bounded retry
+  after a short pause (transient tunnel resets recover);
+* child exceeds the per-attempt deadline (tunnel hang) -> killed, and the
+  block count descends a fallback ladder (e.g. 512 -> 128 -> 16) so a sick
+  but live tunnel still yields a smaller valid measurement;
+* everything fails -> ``{"metric", "value": 0, ..., "error": ...}`` and a
+  non-zero exit code.
+
+Knobs: BENCH_DEADLINE (total seconds, default 1500), BENCH_ATTEMPT_DEADLINE
+(per child attempt, default 600), BENCH_LADDER (comma list of block counts).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+TARGET = 1e9  # samples/s/chip, BASELINE.md north star
+MODE = os.environ.get("BENCH_MODE", "fused")
+METRIC = ("flagship_chain_samples_per_s" if MODE == "fused"
+          else f"{MODE}_chain_samples_per_s")
+
+
+def _error_line(msg, **extra):
+    rec = {"metric": METRIC, "value": 0.0, "unit": "samples/s",
+           "vs_baseline": 0.0, "error": msg}
+    rec.update(extra)
+    return json.dumps(rec)
+
+
+def _last_json_line(text):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    return None
+
+
+def orchestrate():
+    deadline = float(os.environ.get("BENCH_DEADLINE", 1500))
+    attempt_cap = float(os.environ.get("BENCH_ATTEMPT_DEADLINE", 600))
+    base_blocks = int(os.environ.get("BENCH_BLOCKS", 512))
+    ladder_env = os.environ.get("BENCH_LADDER")
+    if ladder_env:
+        ladder = [int(b) for b in ladder_env.split(",") if b.strip()]
+    else:
+        ladder = sorted({base_blocks, min(base_blocks, 128),
+                         min(base_blocks, 16)}, reverse=True)
+    t_end = time.monotonic() + deadline
+    attempts, retried_unavailable = [], False
+
+    for blocks in ladder:
+        remaining = t_end - time.monotonic()
+        if remaining < 60:
+            break
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_BLOCKS=str(blocks))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=min(attempt_cap, remaining),
+            )
+        except subprocess.TimeoutExpired:
+            attempts.append({"blocks": blocks, "outcome": "timeout"})
+            continue  # tunnel hang: descend the ladder
+        rec = _last_json_line(proc.stdout)
+        if proc.returncode == 0 and rec is not None:
+            if blocks != base_blocks:
+                rec.setdefault("blocks", blocks)
+                rec.setdefault("degraded", True)
+            print(json.dumps(rec))
+            return 0
+        tail = (proc.stderr or "")[-2000:]
+        if "UNAVAILABLE" in tail and not retried_unavailable:
+            retried_unavailable = True
+            attempts.append({"blocks": blocks, "outcome": "unavailable"})
+            time.sleep(min(30, max(0, t_end - time.monotonic() - 60)))
+            ladder.insert(ladder.index(blocks) + 1, blocks)  # one retry
+            continue
+        attempts.append({"blocks": blocks, "outcome": f"rc={proc.returncode}",
+                         "tail": tail[-300:]})
+
+    why = ("tunnel timeout" if any(a["outcome"] == "timeout"
+                                   for a in attempts)
+           else "backend unavailable" if any(
+               a["outcome"] == "unavailable" for a in attempts)
+           else "all attempts failed")
+    print(_error_line(why, attempts=attempts))
+    return 1
+
+
+if os.environ.get("BENCH_CHILD") != "1":
+    sys.exit(orchestrate())
 
 import numpy as np
 
@@ -51,8 +151,6 @@ import jax.numpy as jnp
 from modem_tpu import Rates
 from modem_tpu.chain import qpsk_reference_chain
 
-TARGET = 1e9  # samples/s/chip, BASELINE.md north star
-
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
 N_SYMBOLS = int(os.environ.get("BENCH_SYMBOLS", 4096))
 # 512 blocks = 4.3 GSamp per pass. The device shows a fixed ~35 ms
@@ -60,12 +158,10 @@ N_SYMBOLS = int(os.environ.get("BENCH_SYMBOLS", 4096))
 # wall time), so small passes measure the floor, not the kernel: 16
 # blocks -> 4.2 GSamp/s, 128 -> 13.1, 512 -> 19.4 (marginal ~23).
 N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 512))
-#: fused | staged | passband | dmpsk | msk | resampled — the flagship metric
-#: is "fused"; the others produce the BENCH.md rows for the remaining
-#: end-to-end configurations (all bits -> bits with on-device checksums).
-MODE = os.environ.get("BENCH_MODE", "fused")
-METRIC = ("flagship_chain_samples_per_s" if MODE == "fused"
-          else f"{MODE}_chain_samples_per_s")
+# MODE (fused | staged | passband | dmpsk | msk | resampled) and METRIC are
+# defined at the top of the file, before the orchestrator/child split: the
+# flagship metric is "fused"; the others produce the BENCH.md rows for the
+# remaining end-to-end configurations (bits -> bits, on-device checksums).
 
 
 def make_roundtrip(rates):
