@@ -214,11 +214,15 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
         return jnp.stack([acc, acc])
 
-    def make_ldpc_dec(iters):
+    def make_ldpc_dec(iters, schedule="flooding", msg_dtype=None,
+                      early_exit=False):
         @jax.jit
         def run(llrs, bits):
             def body(acc, lam):
-                return acc + jnp.sum(ldpc.decode(lam, iters=iters)), None
+                out = ldpc.decode(lam, iters=iters, schedule=schedule,
+                                  msg_dtype=msg_dtype,
+                                  early_exit=early_exit)
+                return acc + jnp.sum(out), None
             acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
             return jnp.stack([acc, jnp.sum(bits)])
         return run
@@ -227,9 +231,19 @@ def main():
     bench("LDPC(648,324) encode (prefix-XOR)", run_ldpc_enc, (ldpc_bits,),
           ldpc_info, n_blocks=ldpc_blocks)
     for it in (10, 25):
-        bench(f"LDPC(648,324) min-sum decode, {it} iters",
+        bench(f"LDPC(648,324) flooding decode, {it} iters",
               make_ldpc_dec(it), (ldpc_llrs, ldpc_bits), ldpc_info,
               n_blocks=ldpc_blocks)
+    # layered converges ~2x faster: 5 layered iterations are the
+    # BER-equivalent of the 10-iteration flooding row above
+    for it, mdt, ee, tag in (
+            (5, None, False, "layered f32, 5 iters"),
+            (5, jnp.bfloat16, False, "layered bf16, 5 iters"),
+            (10, jnp.bfloat16, True, "layered bf16, early-exit cap 10"),
+    ):
+        bench(f"LDPC(648,324) {tag}",
+              make_ldpc_dec(it, "layered", mdt, ee),
+              (ldpc_llrs, ldpc_bits), ldpc_info, n_blocks=ldpc_blocks)
 
 
 if __name__ == "__main__":

@@ -30,10 +30,39 @@ TPU shaping of the decoder (normalized min-sum, flooding schedule):
   channels, no sorting and no ``take_along_axis``.
 * **Iterations are a ``lax.scan``** with the check-to-variable messages
   ``[E, ..., Z]`` as carry: one compiled trellis regardless of iteration
-  count, matching the windowed-Viterbi design (`fec/conv.py`). The
-  iteration count is static (XLA control flow must be shape-static;
-  early-exit saves nothing on a batched tensor machine — every other
-  codeword in the batch would still be in flight).
+  count, matching the windowed-Viterbi design (`fec/conv.py`).
+
+Two schedules:
+
+* ``flooding`` — all check rows update from the same posterior snapshot;
+  the classic fully-parallel schedule (kept as the reference form).
+* ``layered`` (default) — row-layered: the posterior totals are updated
+  after *each* check row inside an iteration, so later rows in the same
+  sweep see fresher messages. Converges in about half the iterations of
+  flooding at equal BER (standard result; re-verified in
+  ``tests/test_ldpc.py::TestLayered``), which directly halves the
+  dominant cost — HBM traffic on the ``[E, ...]`` message tensor.
+
+Throughput shaping on top of the schedule (the decoder is HBM-bound:
+per iteration it streams the whole message tensor in and out):
+
+* **Batch on the lane dimension.** Public arrays are ``[..., n]``;
+  internally everything is transposed to ``[Z, *batch]`` per block
+  column so the (large) batch occupies the 128-wide vector lanes and the
+  lifting size ``Z`` (27 here) sits in sublanes. In the naive layout the
+  last dim is ``Z`` and 101 of 128 lanes are padding.
+* **Optional bf16 messages** (``msg_dtype``): check-to-variable messages
+  are stored bfloat16 while posterior totals accumulate in f32 — halves
+  message traffic. The posterior update uses the *quantized* message so
+  totals stay exactly ``ch + sum(stored messages)`` and the extrinsic
+  subtraction never drifts. Waterfall impact verified < measurement
+  noise in ``tests/test_ldpc.py``.
+* **On-device early termination** (``early_exit=True``): a
+  ``lax.while_loop`` whose predicate is the batched syndrome check —
+  iteration stops when EVERY codeword in the batch satisfies all parity
+  checks (or at ``iters``). At operating SNR the mean converged
+  iteration count is far below the cap, and the syndrome check is one
+  cheap XOR/roll sweep per iteration.
 
 LLR convention matches the rest of the framework (positive = bit 0,
 :mod:`modem_tpu.ops.llr`), so chain/OFDM soft outputs feed straight in.
@@ -200,15 +229,129 @@ class QcLdpc:
     # ------------------------------------------------------------------
 
     def decode(self, llrs: jnp.ndarray, iters: int = 25,
-               alpha: float = 0.75) -> jnp.ndarray:
+               alpha: float = 0.75, schedule: str = "layered",
+               msg_dtype=None, early_exit: bool = False) -> jnp.ndarray:
         """``[..., n]`` channel LLRs (positive = bit 0) -> ``[..., k]``
-        hard data bits after ``iters`` flooding min-sum iterations."""
-        out = self.decode_full(llrs, iters, alpha)
+        hard data bits after at most ``iters`` min-sum iterations.
+
+        ``schedule``: ``"layered"`` (default; ~2x faster convergence) or
+        ``"flooding"`` (the reference parallel schedule). ``msg_dtype``:
+        storage dtype for check-to-variable messages (default f32; pass
+        ``jnp.bfloat16`` to halve message HBM traffic). ``early_exit``:
+        stop as soon as the whole batch passes the syndrome check
+        (layered schedule only; ``lax.while_loop`` on device).
+        """
+        out = self.decode_full(llrs, iters, alpha, schedule=schedule,
+                               msg_dtype=msg_dtype, early_exit=early_exit)
         return out[..., :self.k]
 
     def decode_full(self, llrs: jnp.ndarray, iters: int = 25,
-                    alpha: float = 0.75) -> jnp.ndarray:
+                    alpha: float = 0.75, schedule: str = "layered",
+                    msg_dtype=None, early_exit: bool = False) -> jnp.ndarray:
         """Like :meth:`decode` but returns all ``n`` codeword bits."""
+        if schedule == "layered":
+            return self._decode_layered(llrs, iters, alpha,
+                                        msg_dtype, early_exit)
+        if schedule != "flooding":
+            raise ValueError(f"unknown schedule {schedule!r}")
+        if early_exit:
+            raise ValueError("early_exit requires schedule='layered'")
+        return self._decode_flooding(llrs, iters, alpha)
+
+    # -- layered schedule ----------------------------------------------
+
+    def _lanes_first(self, llrs: jnp.ndarray) -> jnp.ndarray:
+        """``[..., nb*z]`` -> ``[nb, z, *batch]``: batch onto the lanes."""
+        cols = self._blocks(llrs, self.nb)               # [..., nb, z]
+        return jnp.moveaxis(cols, (-2, -1), (0, 1))      # [nb, z, ...]
+
+    def _syndrome_bad(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Internal-layout posteriors ``[nb, z, *batch]`` -> scalar bool:
+        True while ANY codeword in the batch fails ANY parity check."""
+        v = (t < 0).astype(jnp.int32)
+        bad = jnp.zeros((), jnp.int32)
+        for r in range(self.mb):
+            start, deg = self._row_slices[r]
+            acc = jnp.zeros_like(v[0])
+            for _, c, sh in self._edges[start:start + deg]:
+                acc = acc ^ jnp.roll(v[c], -sh, axis=0)
+            bad = bad | jnp.max(acc)
+        return bad > 0
+
+    def _decode_layered(self, llrs, iters, alpha, msg_dtype,
+                        early_exit) -> jnp.ndarray:
+        if llrs.shape[-1] != self.n:
+            raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
+        mdt = jnp.float32 if msg_dtype is None else msg_dtype
+        ch = self._lanes_first(llrs.astype(jnp.float32))  # [nb, z, *batch]
+        e = len(self._edges)
+        l0 = jnp.zeros((e,) + ch.shape[1:], mdt)  # check-frame messages
+        a = np.float32(alpha)
+
+        def sweep(t, l):
+            """One full iteration: every check row, posteriors updated
+            in place after each row (the layered property)."""
+            for r in range(self.mb):
+                start, deg = self._row_slices[r]
+                row = self._edges[start:start + deg]
+                old = [l[start + k].astype(jnp.float32)
+                       for k in range(deg)]
+                # variable -> check in the check's lane frame, against
+                # the CURRENT posteriors (this is what makes it layered)
+                u = [jnp.roll(t[c], -sh, axis=0) - old[k]
+                     for k, (_, c, sh) in enumerate(row)]
+                mag = [jnp.abs(x) for x in u]
+                neg = [(x < 0).astype(jnp.int32) for x in u]
+                big = jnp.full_like(mag[0], np.inf)
+                pre_m, pre_s = [big], [jnp.zeros_like(neg[0])]
+                for k in range(deg - 1):
+                    pre_m.append(jnp.minimum(pre_m[-1], mag[k]))
+                    pre_s.append(pre_s[-1] ^ neg[k])
+                suf_m, suf_s = big, jnp.zeros_like(neg[0])
+                for k in range(deg - 1, -1, -1):
+                    em = jnp.minimum(pre_m[k], suf_m)
+                    es = pre_s[k] ^ suf_s
+                    sgn = 1.0 - 2.0 * es.astype(jnp.float32)
+                    # quantize FIRST, then update posteriors with the
+                    # quantized value: totals remain exactly
+                    # ch + sum(stored messages), so the extrinsic
+                    # subtraction above never drifts
+                    wq = (a * sgn * em).astype(mdt)
+                    _, c, sh = row[k]
+                    t = t.at[c].add(
+                        jnp.roll(wq.astype(jnp.float32) - old[k], sh,
+                                 axis=0))
+                    l = l.at[start + k].set(wq)
+                    suf_m = jnp.minimum(suf_m, mag[k])
+                    suf_s = suf_s ^ neg[k]
+            return t, l
+
+        if early_exit:
+            def cond(state):
+                t, _, it, bad = state
+                return jnp.logical_and(it < iters, bad)
+
+            def body(state):
+                t, l, it, _ = state
+                t, l = sweep(t, l)
+                return t, l, it + 1, self._syndrome_bad(t)
+
+            t, _, _, _ = lax.while_loop(
+                cond, body, (ch, l0, jnp.int32(0), jnp.bool_(True)))
+        else:
+            def body(carry, _):
+                return sweep(*carry), None
+
+            (t, _), _ = lax.scan(body, (ch, l0), None, length=iters)
+
+        hard = (t < 0).astype(jnp.int32)                 # [nb, z, *batch]
+        return jnp.moveaxis(hard, (0, 1), (-2, -1)).reshape(
+            llrs.shape[:-1] + (self.n,))
+
+    # -- flooding schedule (reference form) ----------------------------
+
+    def _decode_flooding(self, llrs: jnp.ndarray, iters: int,
+                         alpha: float) -> jnp.ndarray:
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         ch = self._blocks(llrs.astype(jnp.float32), self.nb)

@@ -140,6 +140,84 @@ class TestDecode:
         assert bool(jnp.all(CODE.syndrome_ok(full)))
 
 
+class TestLayered:
+    """Row-layered schedule, bf16 messages, and early termination
+    (the throughput forms) against the flooding reference."""
+
+    def _llrs(self, seed, batch, ebn0_db):
+        rng = np.random.default_rng(seed)
+        data = jnp.asarray(rng.integers(0, 2, (batch, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        x = 1.0 - 2.0 * cw.astype(jnp.float32)
+        sigma2 = 1.0 / (2.0 * 0.5 * 10.0 ** (ebn0_db / 10.0))
+        noise = jnp.asarray(np.random.default_rng(seed + 1).normal(
+            0.0, np.sqrt(sigma2), x.shape), jnp.float32)
+        return data, 2.0 * (x + noise) / sigma2
+
+    def test_layered_waterfall(self):
+        """Same 4.5 dB point as the flooding waterfall test — layered
+        cleans it in HALF the iterations."""
+        data, llr = self._llrs(40, 16, 4.5)
+        out = CODE.decode(llr, iters=20, schedule="layered")
+        assert int(jnp.sum(out != data)) == 0
+
+    def test_layered_converges_2x_faster(self):
+        """At a harsh point near the waterfall edge, layered with half
+        the iteration budget is at least as good as flooding (bit errors
+        over a deterministic batch)."""
+        data, llr = self._llrs(41, 48, 3.4)
+        flood = CODE.decode(llr, iters=16, schedule="flooding")
+        lay = CODE.decode(llr, iters=8, schedule="layered")
+        e_f = int(jnp.sum(flood != data))
+        e_l = int(jnp.sum(lay != data))
+        assert e_l <= e_f
+
+    def test_bf16_messages_waterfall_unaffected(self):
+        """bf16 message storage: identical decoded bits to f32 at the
+        4.5 dB operating point (both error-free), and no worse at the
+        harsh 3.4 dB point."""
+        data, llr = self._llrs(42, 16, 4.5)
+        out = CODE.decode(llr, iters=20, schedule="layered",
+                          msg_dtype=jnp.bfloat16)
+        assert int(jnp.sum(out != data)) == 0
+        data2, llr2 = self._llrs(43, 48, 3.4)
+        e32 = int(jnp.sum(CODE.decode(llr2, iters=10) != data2))
+        e16 = int(jnp.sum(CODE.decode(
+            llr2, iters=10, msg_dtype=jnp.bfloat16) != data2))
+        assert e16 <= e32 + 2  # within measurement noise of each other
+
+    def test_early_exit_matches_full_run(self):
+        """early_exit stops at a valid codeword: decoded data equals the
+        fixed-iteration result wherever the fixed run also converged."""
+        data, llr = self._llrs(44, 16, 4.5)
+        full = CODE.decode(llr, iters=30, schedule="layered")
+        fast = CODE.decode(llr, iters=30, schedule="layered",
+                           early_exit=True)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(data))
+
+    def test_early_exit_noiseless_is_instant_and_exact(self):
+        rng = np.random.default_rng(45)
+        data = jnp.asarray(rng.integers(0, 2, (4, CODE.k)), jnp.int32)
+        llr = 20.0 * (1.0 - 2.0 * CODE.encode(data).astype(jnp.float32))
+        out = CODE.decode(llr, iters=50, early_exit=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(data))
+
+    def test_layered_full_resatisfies_h(self):
+        rng = np.random.default_rng(46)
+        data = jnp.asarray(rng.integers(0, 2, (2, CODE.k)), jnp.int32)
+        llr = 6.0 * (1.0 - 2.0 * CODE.encode(data).astype(jnp.float32))
+        full = CODE.decode_full(llr, iters=10, schedule="layered")
+        assert bool(jnp.all(CODE.syndrome_ok(full)))
+
+    def test_schedule_validation(self):
+        llr = jnp.zeros((CODE.n,), jnp.float32)
+        with pytest.raises(ValueError):
+            CODE.decode(llr, schedule="zigzag")
+        with pytest.raises(ValueError):
+            CODE.decode(llr, schedule="flooding", early_exit=True)
+
+
 class TestChainIntegration:
     def test_qpsk_chain_llrs_feed_ldpc(self):
         """bits -> LDPC encode -> QPSK chain + AWGN -> chain LLRs ->
