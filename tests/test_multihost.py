@@ -18,17 +18,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_roundtrip():
+def _run_workers(num_procs: int, ch: int, time: int, devs: int) -> None:
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     coordinator = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(pid)],
+            [sys.executable, worker, coordinator, str(num_procs), str(pid),
+             str(ch), str(time), str(devs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=os.path.dirname(os.path.dirname(worker)),
         )
-        for pid in range(2)
+        for pid in range(num_procs)
     ]
     outs = []
     try:
@@ -42,3 +43,15 @@ def test_two_process_distributed_roundtrip():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid}: OK" in out, out
+
+
+def test_two_process_distributed_roundtrip():
+    _run_workers(num_procs=2, ch=2, time=4, devs=4)
+
+
+def test_four_process_cross_boundary_halos():
+    """VERDICT r2 item 4: 2x2 ("ch","time") mesh over FOUR processes with ONE
+    device each — every time-axis ppermute halo hop crosses a process
+    boundary. The worker asserts bitwise FIR-halo parity per local shard plus
+    the full distributed flagship step."""
+    _run_workers(num_procs=4, ch=2, time=2, devs=1)
