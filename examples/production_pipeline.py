@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from modem_tpu import PulseShapedChain, Rates
+from modem_tpu import LinkStats, PulseShapedChain, Rates
 from modem_tpu.models.qam import QAM
 from modem_tpu.streaming import StreamingFusedRx, StreamingFusedTx
 
@@ -54,18 +54,32 @@ def main():
     sigma = float(np.sqrt(es / (10.0 ** (snr_db / 10.0)) / 4.0))
     x = x + sigma * rng.normal(size=x.shape).astype(np.float32)
 
-    # ---- receive side: stream blocks, decisions lag span symbols ----
+    # ---- receive side: stream blocks, decisions lag span symbols;
+    #      LinkStats accumulates exact streaming counters block by block ----
     rx = StreamingFusedRx(chain)
+    stats = LinkStats.zero()
     decided = []
     sps = chain.sps
+    emitted = 0
     for start in range(0, x.size, 160 * sps):
         blk = jnp.asarray(x[start: start + 160 * sps])
         if blk.shape[-1] % sps:
             break
-        decided.append(np.asarray(rx.push(blk)))
+        d = rx.push(blk)
+        keep = min(int(d.shape[-1]), bits.size - emitted)
+        if keep > 0:
+            stats = stats.update_bits(bits[emitted: emitted + keep],
+                                      d[..., :keep])
+        emitted += keep
+        decided.append(np.asarray(d))
     decided = np.concatenate(decided, -1)[: bits.size]
     ber = float(np.mean(decided != np.asarray(bits)))
     print(f"hard decisions at {snr_db:.0f} dB Es/N0: BER = {ber:.2e}")
+    s = stats.summary()
+    assert s["bit_errors"] == int(np.sum(decided != np.asarray(bits)))
+    print(f"LinkStats: {s['blocks']} blocks, {s['bits']} bits, "
+          f"{s['bit_errors']} errors (BER {s['ber']:.2e}) — "
+          f"exactly matches the offline recount")
 
     # ---- soft output: one-shot LLRs for an outer decoder ----
     llr = chain.rx_soft_fused(jnp.asarray(x), n_sym, noise_var=sigma**2 * 2)

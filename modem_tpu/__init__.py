@@ -20,6 +20,7 @@ from .chain import (
 from .dsss import DsssChain
 from .fhss import FhssModem
 from .gmsk import GmskChain
+from .metrics import LinkStats
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
@@ -32,7 +33,8 @@ __all__ = [
     "AcquiringReceiver", "AlamoutiOfdm", "Channelizer", "DcqpskChain",
     "Demodulator",
     "DifferentialChain", "DsssChain",
-    "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "Modulator", "MskChain",
+    "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
+    "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
