@@ -126,6 +126,225 @@ def ber_waterfall(
     ]
 
 
+def mpsk_ber_theory(es_n0_db: float, m: int, gray: bool = False) -> float:
+    """M-PSK nearest-neighbor BER approximation:
+    SER ~= 2*Q(sqrt(2*Es/N0)*sin(pi/M)), converted to BER by the average
+    bit flips per adjacent-symbol slip — 1 for gray, the cyclic
+    natural-binary average otherwise (this framework reproduces the
+    reference's natural-binary phase map, `psk.rs`)."""
+    es_n0 = 10.0 ** (es_n0_db / 10.0)
+    ser = 2.0 * q_function(math.sqrt(2.0 * es_n0) * math.sin(math.pi / m))
+    k = math.log2(m)
+    if gray:
+        flips = 1.0
+    else:
+        flips = sum(bin(i ^ ((i + 1) % m)).count("1")
+                    for i in range(m)) / m
+    return ser * flips / k
+
+
+def rayleigh_ber_theory(eb_n0_db: float) -> float:
+    """Coherent BPSK-per-rail BER over flat Rayleigh fading with perfect
+    CSI: 0.5*(1 - sqrt(g/(1+g))), g = average Eb/N0."""
+    g = 10.0 ** (eb_n0_db / 10.0)
+    return 0.5 * (1.0 - math.sqrt(g / (1.0 + g)))
+
+
+def chain_awgn_ber_point(
+    chain: PulseShapedChain,
+    es_n0_db: float,
+    n_symbols: int = 4096,
+    channels: int = 32,
+    seed: int = 0,
+) -> BerPoint:
+    """One Monte-Carlo BER point through the *staged* chain with
+    ``jax.random`` AWGN — runs on CPU or TPU (no Pallas PRNG).
+
+    ``es_n0_db`` is Es/N0 at the matched-filter decision point: with the
+    unit-energy RRC the per-rail noise variance survives the matched
+    filter unchanged, so ``sigma_rail = sqrt(Es / Es/N0 / 2)`` in waveform
+    units gives exactly the requested decision-point ratio (same
+    convention as :func:`ofdm_ber_point`)."""
+    import jax
+
+    bps = chain.scheme.bits_per_symbol
+    rng = np.random.default_rng(seed)
+    bits = jnp.asarray(
+        rng.integers(0, 2, (channels, n_symbols * bps)), jnp.int32)
+    i, q = chain.tx(bits)
+    es = float(np.mean(np.sum(np.asarray(chain.lut) ** 2, axis=-1)))
+    sigma = math.sqrt(es / (10.0 ** (es_n0_db / 10.0)) / 2.0)
+    k1, k2 = jax.random.split(jax.random.key(seed + 1))
+    ni = i + sigma * jax.random.normal(k1, i.shape, i.dtype)
+    nq = q + sigma * jax.random.normal(k2, q.shape, q.dtype)
+    out = chain.rx((ni, nq), n_symbols)
+    errors = int(jnp.sum(out != bits))
+    return BerPoint(es_n0_db, errors, bits.size)
+
+
+def ofdm_rayleigh_ber_point(
+    scheme,
+    eb_n0_db: float,
+    n_symbols: int = 8,
+    channels: int = 256,
+    n_taps: int = 8,
+    seed: int = 0,
+) -> BerPoint:
+    """OFDM QPSK over a random CP-contained multipath channel with ideal
+    per-bin CSI: each batch element draws its own ``n_taps`` iid CN(0,1/L)
+    taps, so every data bin sees a marginally Rayleigh gain and the batch
+    average must reproduce :func:`rayleigh_ber_theory` (perfect-CSI one-tap
+    equalization, |H|^2-weighted decisions). Runs on CPU or TPU."""
+    import jax
+
+    from .ofdm import OfdmModem, _default_grid
+
+    data, pilots = _default_grid(64)
+    modem = OfdmModem(scheme, data_bins=data + pilots, pilot_bins=())
+    bps = modem.bits_per_symbol
+    rng = np.random.default_rng(seed)
+    bits = jnp.asarray(
+        rng.integers(0, 2, (channels, modem.bits_per_frame(n_symbols))),
+        jnp.int32)
+    xi, xq = modem.tx_payload(bits)
+
+    # per-batch complex channel taps, E[|H|^2] = 1
+    taps = rng.normal(size=(channels, n_taps, 2)) / math.sqrt(2 * n_taps)
+    hi_t = jnp.asarray(taps[..., 0], jnp.float32)
+    hq_t = jnp.asarray(taps[..., 1], jnp.float32)
+    yi = jnp.zeros_like(xi)
+    yq = jnp.zeros_like(xq)
+    for l in range(n_taps):
+        sx = xi if l == 0 else jnp.concatenate(
+            [jnp.zeros(xi.shape[:-1] + (l,), xi.dtype), xi[..., :-l]], -1)
+        sy = xq if l == 0 else jnp.concatenate(
+            [jnp.zeros(xq.shape[:-1] + (l,), xq.dtype), xq[..., :-l]], -1)
+        a = hi_t[:, l][:, None]
+        b = hq_t[:, l][:, None]
+        yi = yi + sx * a - sy * b
+        yq = yq + sx * b + sy * a
+
+    # exact per-used-bin H from the taps (ideal CSI)
+    k_bins = np.asarray(modem.used_bins, np.float64)[:, None]
+    ll = np.arange(n_taps, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * k_bins * ll / modem.n_fft  # [U, L]
+    cr = np.cos(ang).astype(np.float32)
+    ci_ = np.sin(ang).astype(np.float32)
+    h_i = hi_t @ jnp.asarray(cr.T) - hq_t @ jnp.asarray(ci_.T)  # [B, U]
+    h_q = hi_t @ jnp.asarray(ci_.T) + hq_t @ jnp.asarray(cr.T)
+
+    es = float(np.mean(np.sum(modem.lut ** 2, axis=-1)))
+    eb_n0 = 10.0 ** (eb_n0_db / 10.0)
+    sigma = math.sqrt(es / (bps * eb_n0) / 2.0)
+    k1, k2 = jax.random.split(jax.random.key(seed + 1))
+    yi = yi + sigma * jax.random.normal(k1, yi.shape, yi.dtype)
+    yq = yq + sigma * jax.random.normal(k2, yq.shape, yq.dtype)
+    out = modem.rx_payload(yi, yq, n_symbols, h=(h_i, h_q))
+    errors = int(jnp.sum(out != bits))
+    return BerPoint(eb_n0_db, errors, bits.size)
+
+
+# ----------------------------------------------------------------------
+# Release gates (VERDICT r2 item 8): BASELINE.md's "0 BER at reference
+# SNR" made driver-verifiable — one function, pass/fail tolerances,
+# surfaced by bench_ber.py as a BENCH.md "correctness gates" table.
+# ----------------------------------------------------------------------
+
+def release_gates(seed: int = 0, scale: int = 1) -> list[dict]:
+    """Run the Monte-Carlo correctness gates; returns one dict per gate:
+    ``{gate, measured, expected, lo, hi, passed}`` where the gate passes
+    iff ``lo <= measured/expected <= hi`` (ratio gates) or the stated
+    exact criterion holds. ``scale`` multiplies the sample counts (use >1
+    on hardware for tighter statistics)."""
+    import jax
+
+    from .config import Rates
+    from .chain import PulseShapedChain, qpsk_reference_chain
+    from .fec import QcLdpc, rs_dvb
+    from .link import FramedLink
+    from .models import make_scheme
+    from .models.psk import MPSK
+    from .models.qam import QAM
+
+    rates = Rates(baud_rate=1250, sample_rate=10000)
+    gates: list[dict] = []
+
+    def ratio_gate(name, pt, expected, lo=0.85, hi=1.18):
+        r = pt.ber / expected
+        gates.append({
+            "gate": name, "measured": pt.ber, "expected": expected,
+            "errors": pt.bit_errors, "bits": pt.bits,
+            "lo": lo, "hi": hi,
+            "passed": bool(lo <= r <= hi and pt.bit_errors >= 200),
+        })
+
+    # 1) 8-PSK natural binary over AWGN vs closed form
+    chain = PulseShapedChain(MPSK(3, 0.0, 1.0), rates)
+    pt = chain_awgn_ber_point(chain, 14.0, n_symbols=4096,
+                              channels=32 * scale, seed=seed)
+    ratio_gate("8psk_awgn_vs_theory", pt, mpsk_ber_theory(14.0, 8))
+
+    # 2) 16-QAM gray over AWGN vs closed form
+    chain = PulseShapedChain(QAM(4, 0.0, 6.0, gray=True), rates)
+    pt = chain_awgn_ber_point(chain, 14.0, n_symbols=4096,
+                              channels=32 * scale, seed=seed + 1)
+    ratio_gate("qam16_gray_awgn_vs_theory", pt,
+               mqam_ber_theory(14.0, 16, gray=True))
+
+    # 3) OFDM QPSK over Rayleigh multipath, ideal CSI, vs closed form
+    pt = ofdm_rayleigh_ber_point(make_scheme("qpsk", rates), 12.0,
+                                 channels=256 * scale, seed=seed + 2)
+    ratio_gate("ofdm_qpsk_rayleigh_vs_theory", pt,
+               rayleigh_ber_theory(12.0), lo=0.85, hi=1.2)
+
+    # 4) RS(255,223) over conv K=7 framed link: error-free at operating
+    #    SNR while the raw channel is demonstrably noisy
+    link = FramedLink(qpsk_reference_chain(rates), rs=rs_dvb(),
+                      interleave_rows=12)
+    rng = np.random.default_rng(seed + 3)
+    payload = jnp.asarray(
+        rng.integers(0, 2, (4 * scale, link.payload_bits)), jnp.int32)
+    i, q = link.tx(payload)
+    p = float(jnp.mean(i * i + q * q))
+    snr_db = 1.0
+    nv = p / (2.0 * 10.0 ** (snr_db / 10.0))
+    k1, k2 = jax.random.split(jax.random.key(seed + 4))
+    sig = math.sqrt(nv)
+    ni = i + sig * jax.random.normal(k1, i.shape, i.dtype)
+    nq = q + sig * jax.random.normal(k2, q.shape, q.dtype)
+    out, ok = link.rx((ni, nq), nv)
+    errs = int(jnp.sum(out != payload))
+    gates.append({
+        "gate": "rs_conv_link_zero_errors_at_1db", "measured": errs,
+        "expected": 0, "crc_all_ok": bool(np.asarray(ok).all()),
+        "payload_bits": int(payload.size),
+        "passed": bool(errs == 0 and np.asarray(ok).all()),
+    })
+
+    # 5) LDPC(648,324) layered waterfall: error-free at 4.5 dB Eb/N0
+    #    while the raw channel makes hundreds of errors
+    code = QcLdpc()
+    data = jnp.asarray(
+        rng.integers(0, 2, (64 * scale, code.k)), jnp.int32)
+    cw = code.encode(data)
+    x = 1.0 - 2.0 * cw.astype(jnp.float32)
+    sigma2 = 1.0 / (2.0 * 0.5 * 10.0 ** (4.5 / 10.0))
+    noise = jnp.asarray(np.random.default_rng(seed + 5).normal(
+        0.0, math.sqrt(sigma2), x.shape), jnp.float32)
+    y = x + noise
+    raw = int(jnp.sum((y < 0).astype(jnp.int32) != cw))
+    dec = code.decode(2.0 * y / sigma2, iters=20, schedule="layered")
+    errs = int(jnp.sum(dec != data))
+    gates.append({
+        "gate": "ldpc_648_324_zero_errors_at_4p5db", "measured": errs,
+        "expected": 0, "raw_channel_errors": raw,
+        "data_bits": int(data.size),
+        "passed": bool(errs == 0 and raw > 100 * scale),
+    })
+
+    return gates
+
+
 def ofdm_ber_point(
     scheme,
     es_n0_db: float,
