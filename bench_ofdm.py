@@ -96,22 +96,28 @@ def rows(scheme_name):
         acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
         return jnp.stack([acc, jnp.sum(bits)])
 
-    @jax.jit
-    def run_acquire(wi, wq, bits):
-        def body(acc, x):
-            i, q, b = x
-            out, _ = m.acquire(i, q, N_SYM, MAX_LAG)
-            return acc + jnp.sum(out), None
-        acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
-        return jnp.stack([acc, jnp.sum(bits)])
+    def make_acquire(correlator):
+        @jax.jit
+        def run_acquire(wi, wq, bits):
+            def body(acc, x):
+                i, q, b = x
+                out, _ = m.acquire(i, q, N_SYM, MAX_LAG,
+                                   correlator=correlator)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
+            return jnp.stack([acc, jnp.sum(bits)])
+        return run_acquire
 
     spb = CHANNELS * flen
     bench(f"OFDM {scheme_name} tx_frame (C={CHANNELS}, S={N_SYM})",
           run_tx, (bits,), spb)
     bench(f"OFDM {scheme_name} rx_frame (exact @30dB)", run_rx,
           (wi, wq, bits), spb)
-    bench(f"OFDM {scheme_name} blind acquire (lag {MAX_LAG})",
-          run_acquire, (wi, wq, bits), spb)
+    # correlator A/B (round-3 gather-rule refit of the fine-timing stage)
+    bench(f"OFDM {scheme_name} blind acquire (lag {MAX_LAG}, fir)",
+          make_acquire("fir"), (wi, wq, bits), spb)
+    bench(f"OFDM {scheme_name} blind acquire (lag {MAX_LAG}, gather)",
+          make_acquire("gather"), (wi, wq, bits), spb)
 
 
 def main():

@@ -55,6 +55,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from .ops.fir import fir_filter
 from .ops.llr import lut_llr
 from .ops.slicer import lut_map, lut_slice
 from .utils.bits import pack_bits, unpack_symbols
@@ -508,8 +509,49 @@ class OfdmModem:
         m = (ps_i * ps_i + ps_q * ps_q) / jnp.maximum(es * es, 1e-24)
         return m, ps_i, ps_q
 
+    def _preamble_correlate(self, ci: jnp.ndarray, cq: jnp.ndarray,
+                            max_lag: int, correlator: str):
+        """Complex correlation of the capture against the known preamble
+        at lags ``[0, max_lag)``: ``C(d) = sum_k conj(tpl[k]) r[d+k]``.
+        Returns ``(cr, cj) [..., max_lag]``.
+
+        ``correlator``:
+
+        * ``"fir"`` (default) — four causal FIR passes with the
+          *reversed* template as taps (correlation == convolution with the
+          flipped kernel, read at offset ``P-1``). XLA lowers the
+          convolutions onto the MXU and never materializes a window
+          tensor. This follows round 2's gather rule (BENCH.md): never
+          build ``[max_lag, P]`` overlapping windows.
+        * ``"gather"`` — the materialized ``[max_lag, P]`` window gather +
+          reduce (round-2 form, kept as the A/B reference).
+        """
+        tpl_i = np.asarray(self._preamble_i, np.float32)
+        tpl_q = np.asarray(self._preamble_q, np.float32)
+        if correlator == "fir":
+            p = self.preamble_len
+            ri, rq = tpl_i[::-1].copy(), tpl_q[::-1].copy()
+            aii, _ = fir_filter(ci, ri)
+            aqq, _ = fir_filter(cq, rq)
+            aqi, _ = fir_filter(cq, ri)
+            aiq, _ = fir_filter(ci, rq)
+            cr = (aii + aqq)[..., p - 1: p - 1 + max_lag]
+            cj = (aqi - aiq)[..., p - 1: p - 1 + max_lag]
+            return cr, cj
+        if correlator != "gather":
+            raise ValueError(f"unknown correlator {correlator!r}")
+        lags = jnp.arange(max_lag, dtype=jnp.int32)[:, None]
+        ks = jnp.arange(self.preamble_len, dtype=jnp.int32)[None, :]
+        idx = lags + ks  # [max_lag, preamble_len]
+        wi, wq = ci[..., idx], cq[..., idx]
+        ti, tq = jnp.asarray(tpl_i), jnp.asarray(tpl_q)
+        cr = jnp.sum(wi * ti + wq * tq, axis=-1)
+        cj = jnp.sum(wq * ti - wi * tq, axis=-1)
+        return cr, cj
+
     def locate_frame(self, i: jnp.ndarray, q: jnp.ndarray,
-                     n_symbols: int, max_lag: int):
+                     n_symbols: int, max_lag: int,
+                     correlator: str = "fir"):
         """The blind front end shared by :meth:`acquire` and
         :meth:`acquire_soft`: S&C coarse timing + closed-form fractional
         CFO, derotation, full-preamble fine timing, and the aligned-frame
@@ -534,20 +576,12 @@ class OfdmModem:
         ci = i * c - q * s
         cq = i * s + q * c
         # 3) fine timing: correlate against the ENTIRE known preamble
-        #    (STF + all LTFs, CPs included) over all candidate lags — one
-        #    static gather, like sync.frame_sync. Repeated LTFs alone would
-        #    leave sym_len-offset ambiguities (two equal peaks); the full
-        #    template scores every repetition coherently only at the true
-        #    start. The CFO is already corrected, so the long coherent
-        #    window is safe.
-        tpl_i = jnp.asarray(self._preamble_i)
-        tpl_q = jnp.asarray(self._preamble_q)
-        lags = jnp.arange(max_lag, dtype=jnp.int32)[:, None]
-        ks = jnp.arange(self.preamble_len, dtype=jnp.int32)[None, :]
-        idx = lags + ks  # [max_lag, preamble_len]
-        wi, wq = ci[..., idx], cq[..., idx]
-        cr = jnp.sum(wi * tpl_i + wq * tpl_q, axis=-1)
-        cj = jnp.sum(wq * tpl_i - wi * tpl_q, axis=-1)
+        #    (STF + all LTFs, CPs included) over all candidate lags.
+        #    Repeated LTFs alone would leave sym_len-offset ambiguities
+        #    (two equal peaks); the full template scores every repetition
+        #    coherently only at the true start. The CFO is already
+        #    corrected, so the long coherent window is safe.
+        cr, cj = self._preamble_correlate(ci, cq, max_lag, correlator)
         start = jnp.argmax(cr * cr + cj * cj, axis=-1).astype(jnp.int32)
         # 4) gather the frame at the located start and run the aligned RX
         flen = self.frame_len(n_symbols)
@@ -560,7 +594,7 @@ class OfdmModem:
         return fi, fq, report
 
     def acquire(self, i: jnp.ndarray, q: jnp.ndarray, n_symbols: int,
-                max_lag: int):
+                max_lag: int, correlator: str = "fir"):
         """Blind RX: unknown frame start in ``[0, max_lag)``, CFO up to
         ±2 subcarriers, flat gain/phase and any CP-short multipath.
 
@@ -569,16 +603,18 @@ class OfdmModem:
         metric peak. Waveforms shorter than the last candidate frame end
         are zero-padded (silence after the frame).
         """
-        fi, fq, report = self.locate_frame(i, q, n_symbols, max_lag)
+        fi, fq, report = self.locate_frame(i, q, n_symbols, max_lag,
+                                           correlator)
         return self.rx_frame(fi, fq, n_symbols), report
 
     def acquire_soft(self, i: jnp.ndarray, q: jnp.ndarray,
                      n_symbols: int, max_lag: int,
-                     noise_var: float = 1.0):
+                     noise_var: float = 1.0, correlator: str = "fir"):
         """Blind RX to channel-weighted LLRs (the soft twin of
         :meth:`acquire`): locate, estimate the channel from the frame's
         own LTFs, and return ``(llrs, report)`` for downstream FEC."""
-        fi, fq, report = self.locate_frame(i, q, n_symbols, max_lag)
+        fi, fq, report = self.locate_frame(i, q, n_symbols, max_lag,
+                                           correlator)
         off = self.sym_len
         h = self.estimate_channel(fi[..., off:self.preamble_len],
                                   fq[..., off:self.preamble_len])

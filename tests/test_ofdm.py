@@ -411,6 +411,31 @@ class TestAcquire:
             np.asarray(llr_hard_bits(llr)), np.asarray(hard))
         assert np.all(np.abs(np.asarray(rep["start"]) - 25) <= 4)
 
+    def test_fir_correlator_matches_gather(self):
+        """The FIR fine-timing correlator (default, gather-rule form) and
+        the materialized-window gather reference locate the same start and
+        decode the same bits; the correlation surface agrees to f32
+        rounding (different summation order)."""
+        m = _modem()
+        bits = _bits(m, channels=3, seed=21)
+        i, q = m.tx_frame(bits)
+        ci, cq = self._impair(i, q, offset=43, cfo_bins=0.9)
+        fi_f, fq_f, rep_f = m.locate_frame(ci, cq, N_SYM, max_lag=128,
+                                           correlator="fir")
+        fi_g, fq_g, rep_g = m.locate_frame(ci, cq, N_SYM, max_lag=128,
+                                           correlator="gather")
+        np.testing.assert_array_equal(np.asarray(rep_f["start"]),
+                                      np.asarray(rep_g["start"]))
+        np.testing.assert_array_equal(np.asarray(fi_f), np.asarray(fi_g))
+        out_f = m.rx_frame(fi_f, fq_f, N_SYM)
+        np.testing.assert_array_equal(np.asarray(out_f), np.asarray(bits))
+        cr_f, cj_f = m._preamble_correlate(ci, cq, 128, "fir")
+        cr_g, cj_g = m._preamble_correlate(ci, cq, 128, "gather")
+        np.testing.assert_allclose(np.asarray(cr_f), np.asarray(cr_g),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(cj_f), np.asarray(cj_g),
+                                   rtol=2e-4, atol=2e-3)
+
     def test_acquire_pads_short_capture(self):
         m = _modem()
         bits = _bits(m, channels=1)
