@@ -24,7 +24,7 @@ from .metrics import LinkStats
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
-from .ofdm import OfdmChain, OfdmModem
+from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
 from .stbc import AlamoutiOfdm
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
@@ -35,7 +35,7 @@ __all__ = [
     "DifferentialChain", "DsssChain",
     "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
     "Modulator", "MskChain",
-    "OfdmChain", "OfdmModem", "OqpskChain",
+    "OfdmChain", "OfdmModem", "OfdmStreamReceiver", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
     "qpsk_reference_chain",

@@ -53,6 +53,7 @@ from functools import lru_cache
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .ops.fir import fir_filter
@@ -497,7 +498,8 @@ class OfdmModem:
             raise ValueError(f"need >= {need} samples for max_lag={max_lag}")
         pi = i[..., :-l] * i[..., l:] + q[..., :-l] * q[..., l:]
         pq = i[..., :-l] * q[..., l:] - q[..., :-l] * i[..., l:]
-        en = i[..., l:] ** 2 + q[..., l:] ** 2
+        en1 = i[..., :-l] ** 2 + q[..., :-l] ** 2  # energy of r[d+m]
+        en2 = i[..., l:] ** 2 + q[..., l:] ** 2    # energy of r[d+m+L]
 
         def wsum(x):  # [..., T-l] -> windowed sum of width w at each lag
             c = jnp.cumsum(x, axis=-1)
@@ -505,8 +507,17 @@ class OfdmModem:
             c = jnp.concatenate([zero, c], axis=-1)
             return (c[..., w:w + max_lag] - c[..., :max_lag])
 
-        ps_i, ps_q, es = wsum(pi), wsum(pq), wsum(en)
-        m = (ps_i * ps_i + ps_q * ps_q) / jnp.maximum(es * es, 1e-24)
+        ps_i, ps_q = wsum(pi), wsum(pq)
+        # Symmetric (Minn-style) denominator: R = (E1 + E2)/2, both halves'
+        # windowed energy. Cauchy-Schwarz then bounds M <= 1 with equality
+        # only for genuine period-L self-similarity at matched energy; the
+        # classic E2-only form is numerically arbitrary where the energy
+        # support is sparse (burst tails, zero padding, silence between
+        # bursts) and false-fires a threshold detector there. A tiny
+        # absolute floor guards exact silence.
+        es = 0.5 * (wsum(en1) + wsum(en2))
+        es = jnp.maximum(es, 1e-12)
+        m = (ps_i * ps_i + ps_q * ps_q) / (es * es)
         return m, ps_i, ps_q
 
     def _preamble_correlate(self, ci: jnp.ndarray, cq: jnp.ndarray,
@@ -663,3 +674,123 @@ class OfdmChain:
     def rx(self, iq, n_symbols: int) -> jnp.ndarray:
         i, q = iq
         return self.modem.rx_frame(i, q, n_symbols)
+
+class OfdmStreamReceiver:
+    """Continuous blind burst receiver over an unbounded OFDM sample stream.
+
+    :meth:`OfdmModem.acquire` handles one frame in one capture; a deployed
+    receiver sees an endless stream with bursts at unknown times separated
+    by noise or silence. This class is the streaming front end around it:
+
+    * ``push(i, q)`` accepts arbitrary-size sample chunks (any size,
+      including empty) and returns the frames completed so far, each as
+      ``(bits, report)`` with the frame start as a *global* stream index;
+    * detection is the Schmidl&Cox metric (:meth:`OfdmModem.sc_metric`)
+      thresholded over the leading ``max_lag`` lags of a rolling window —
+      the plateau only forms on a real STF, so noise and silence advance
+      the window without a decode;
+    * each detected burst runs the full blind chain
+      (:meth:`OfdmModem.locate_frame` fine timing + :meth:`OfdmModem
+      .rx_frame`), so per-burst CFO, flat gain/phase, and CP-short
+      multipath are handled per frame.
+
+    TPU shaping: every device call is one of two fixed-shape jitted
+    programs (the ``[win]`` detector and the ``[win]`` decoder), so the
+    unbounded stream compiles exactly twice; the only host decision per
+    window step is one scalar metric fetch (control plane, same streaming
+    quantum as the framed link). Single stream by design — run one
+    receiver per channel behind :class:`modem_tpu.Channelizer` /
+    :class:`modem_tpu.WidebandModem` for banks.
+
+    Guarantees (tested in ``tests/test_ofdm_stream.py``): frames decoded
+    by the stream receiver are bit-identical to ``acquire`` on an aligned
+    capture, independent of how the stream is chunked.
+    """
+
+    def __init__(self, modem: OfdmModem, n_symbols: int,
+                 max_lag: int | None = None, threshold: float = 0.6):
+        self.modem = modem
+        self.n_symbols = int(n_symbols)
+        self.frame_len = modem.frame_len(n_symbols)
+        # detection range per window step; >= one symbol so a frame
+        # starting just past the range still fully enters the next window
+        self.max_lag = int(max_lag) if max_lag else 2 * modem.sym_len
+        self.win = self.max_lag + self.frame_len
+        self.threshold = float(threshold)
+        self._buf_i = jnp.zeros((0,), jnp.float32)
+        self._buf_q = jnp.zeros((0,), jnp.float32)
+        self._pos = 0  # global stream index of _buf[0]
+
+        m = modem
+
+        @jax.jit
+        def detect(i, q):
+            met, _, _ = m.sc_metric(i, q, self.max_lag)
+            c = jnp.argmax(met, axis=-1)
+            return met[c], c
+
+        @jax.jit
+        def decode(i, q):
+            fi, fq, rep = m.locate_frame(i, q, self.n_symbols,
+                                         self.max_lag)
+            return m.rx_frame(fi, fq, self.n_symbols), rep
+
+        self._detect = detect
+        self._decode = decode
+
+    def push(self, i: jnp.ndarray, q: jnp.ndarray) -> list:
+        """Append a chunk; returns ``[(bits, report), ...]`` for every
+        frame whose samples are now fully buffered. ``report`` is the
+        :meth:`OfdmModem.locate_frame` report with ``start`` converted to
+        the global stream index (host int) and an ``sc_detect`` score."""
+        self._buf_i = jnp.concatenate(
+            [self._buf_i, jnp.asarray(i, jnp.float32)], -1)
+        self._buf_q = jnp.concatenate(
+            [self._buf_q, jnp.asarray(q, jnp.float32)], -1)
+        return self._drain(final=False)
+
+    def flush(self) -> list:
+        """End of stream: zero-pad the residue to one last full window and
+        drain any final frame whose preamble is already buffered."""
+        if self._buf_i.shape[-1] > self.modem.preamble_len:
+            pad = jnp.zeros((self.win,), jnp.float32)
+            self._buf_i = jnp.concatenate([self._buf_i, pad], -1)
+            self._buf_q = jnp.concatenate([self._buf_q, pad], -1)
+        out = self._drain(final=True)
+        self._buf_i = jnp.zeros((0,), jnp.float32)
+        self._buf_q = jnp.zeros((0,), jnp.float32)
+        return out
+
+    def _advance(self, n: int) -> None:
+        self._buf_i = self._buf_i[..., n:]
+        self._buf_q = self._buf_q[..., n:]
+        self._pos += n
+
+    def _drain(self, final: bool) -> list:
+        frames = []
+        while self._buf_i.shape[-1] >= self.win:
+            wi = self._buf_i[..., :self.win]
+            wq = self._buf_q[..., :self.win]
+            peak, coarse = self._detect(wi, wq)
+            if float(peak) < self.threshold:
+                # no STF plateau in the leading lags: skip ahead, keeping
+                # one symbol of lookback for a plateau cut at the seam
+                self._advance(self.max_lag - self.modem.sym_len
+                              if self.max_lag > self.modem.sym_len
+                              else self.max_lag)
+                continue
+            c = int(coarse)
+            if c > self.max_lag - self.modem.sym_len and not final:
+                # plateau near the edge of the detection range: realign so
+                # the burst sits early in the next window (its tail may
+                # not be buffered yet)
+                self._advance(max(1, c - self.modem.cp))
+                continue
+            bits, rep = self._decode(wi, wq)
+            start = int(rep["start"])
+            rep = dict(rep)
+            rep["start"] = self._pos + start
+            rep["sc_detect"] = float(peak)
+            frames.append((bits, rep))
+            self._advance(start + self.frame_len)
+        return frames
