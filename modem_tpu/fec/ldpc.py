@@ -285,7 +285,11 @@ class QcLdpc:
         mdt = jnp.float32 if msg_dtype is None else msg_dtype
         ch = self._lanes_first(llrs.astype(jnp.float32))  # [nb, z, *batch]
         e = len(self._edges)
-        l0 = jnp.zeros((e,) + ch.shape[1:], mdt)  # check-frame messages
+        # check-frame messages; tied to ch by a zero-valued term (not
+        # fresh zeros) so the scan carry keeps a consistent varying type
+        # under shard_map
+        zv = jnp.sum(ch) * 0.0
+        l0 = (jnp.zeros((e,) + ch.shape[1:], jnp.float32) + zv).astype(mdt)
         a = np.float32(alpha)
 
         def sweep(t, l):
@@ -356,7 +360,10 @@ class QcLdpc:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         ch = self._blocks(llrs.astype(jnp.float32), self.nb)
         e = len(self._edges)
-        c2v0 = jnp.zeros((e,) + ch.shape[:-2] + (self.z,), jnp.float32)
+        # tied to ch by a zero-valued term (not fresh zeros): consistent
+        # varying type in the scan carry under shard_map
+        c2v0 = jnp.zeros(
+            (e,) + ch.shape[:-2] + (self.z,), jnp.float32) + jnp.sum(ch) * 0.0
         a = jnp.float32(alpha)
 
         def totals(c2v):
