@@ -287,8 +287,10 @@ class QcLdpc:
         e = len(self._edges)
         # check-frame messages; tied to ch by a zero-valued term (not
         # fresh zeros) so the scan carry keeps a consistent varying type
-        # under shard_map
-        zv = jnp.sum(ch) * 0.0
+        # under shard_map. The tie goes through isfinite -> int so ±inf
+        # LLRs (pinned/shortened bits) cannot poison it with NaN.
+        zv = (0 * jnp.sum(jnp.isfinite(ch).astype(jnp.int32))
+              ).astype(jnp.float32)
         l0 = (jnp.zeros((e,) + ch.shape[1:], jnp.float32) + zv).astype(mdt)
         a = np.float32(alpha)
 
@@ -361,9 +363,12 @@ class QcLdpc:
         ch = self._blocks(llrs.astype(jnp.float32), self.nb)
         e = len(self._edges)
         # tied to ch by a zero-valued term (not fresh zeros): consistent
-        # varying type in the scan carry under shard_map
+        # varying type in the scan carry under shard_map; inf-safe via
+        # isfinite (±inf LLRs for pinned bits must not become NaN)
         c2v0 = jnp.zeros(
-            (e,) + ch.shape[:-2] + (self.z,), jnp.float32) + jnp.sum(ch) * 0.0
+            (e,) + ch.shape[:-2] + (self.z,), jnp.float32
+        ) + (0 * jnp.sum(jnp.isfinite(ch).astype(jnp.int32))
+             ).astype(jnp.float32)
         a = jnp.float32(alpha)
 
         def totals(c2v):

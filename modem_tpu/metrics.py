@@ -114,8 +114,15 @@ class LinkStats:
     evm_err: jnp.ndarray  # [2] f32: Kahan (sum, compensation)
     evm_ref: jnp.ndarray  # [2] f32
 
+    def _fields(self):
+        # NOT dataclasses.astuple: that deep-copies every leaf array on
+        # each flatten (i.e. at every jit boundary / scan step)
+        return (self.bit_err, self.bit_tot, self.sym_err, self.sym_tot,
+                self.frame_err, self.frame_tot, self.blocks,
+                self.evm_err, self.evm_ref)
+
     def tree_flatten(self):
-        return dataclasses.astuple(self), None
+        return self._fields(), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -173,8 +180,7 @@ class LinkStats:
     def merge(self, other: "LinkStats") -> "LinkStats":
         return LinkStats(
             *[_c64_merge(a, b) for a, b in zip(
-                dataclasses.astuple(self)[:7],
-                dataclasses.astuple(other)[:7])],
+                self._fields()[:7], other._fields()[:7])],
             evm_err=jnp.stack(
                 [self.evm_err[0] + other.evm_err[0],
                  self.evm_err[1] + other.evm_err[1]]),
@@ -185,14 +191,23 @@ class LinkStats:
 
     def psum(self, axis_name: str) -> "LinkStats":
         """Combine per-shard stats inside ``shard_map`` — psum the limbs,
-        then renormalize the carries."""
+        then renormalize the carries.
+
+        A naive ``psum(lo)`` would wrap int32 with >= 3 shards (each lo
+        limb reaches 2^30 - 1), so the lo limb is psummed as two 15-bit
+        halves and recombined with explicit carry propagation — exact for
+        up to 2^15 devices."""
         import jax.lax as lax
 
         def norm(c):
-            c = lax.psum(c, axis_name)
-            return jnp.stack([c[0] + c[1] // _LIMB, c[1] % _LIMB])
+            hi = lax.psum(c[0], axis_name)
+            a = lax.psum(c[1] >> 15, axis_name)       # < n * 2^15
+            b = lax.psum(c[1] & 0x7FFF, axis_name)    # < n * 2^15
+            # value of the lo sum = a * 2^15 + b, reconstructed in-range:
+            s = (a % (1 << 15)) * (1 << 15) + b        # < 2^31 for n<=2^15
+            return jnp.stack([hi + a // (1 << 15) + s // _LIMB, s % _LIMB])
 
-        t = dataclasses.astuple(self)
+        t = self._fields()
         return LinkStats(*[norm(c) for c in t[:7]],
                          evm_err=lax.psum(self.evm_err, axis_name),
                          evm_ref=lax.psum(self.evm_ref, axis_name))

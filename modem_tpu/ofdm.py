@@ -715,6 +715,15 @@ class OfdmStreamReceiver:
         # detection range per window step; >= one symbol so a frame
         # starting just past the range still fully enters the next window
         self.max_lag = int(max_lag) if max_lag else 2 * modem.sym_len
+        if self.max_lag > self.frame_len:
+            # With max_lag <= frame_len at most ONE frame start fits in the
+            # detection range (non-overlapping frames are >= frame_len
+            # apart), so the fine-timing argmax cannot pick a later burst
+            # and silently skip an earlier one.
+            raise ValueError(
+                f"max_lag ({self.max_lag}) must be <= frame_len "
+                f"({self.frame_len}): a larger detection range could hold "
+                "two bursts and the argmax would drop one")
         self.win = self.max_lag + self.frame_len
         self.threshold = float(threshold)
         self._buf_i = jnp.zeros((0,), jnp.float32)
@@ -751,7 +760,9 @@ class OfdmStreamReceiver:
 
     def flush(self) -> list:
         """End of stream: zero-pad the residue to one last full window and
-        drain any final frame whose preamble is already buffered."""
+        drain any final frame whose preamble is already buffered. The
+        receiver then resets to a FRESH stream — a subsequent ``push``
+        starts a new stream with global indices from 0."""
         if self._buf_i.shape[-1] > self.modem.preamble_len:
             pad = jnp.zeros((self.win,), jnp.float32)
             self._buf_i = jnp.concatenate([self._buf_i, pad], -1)
@@ -759,6 +770,7 @@ class OfdmStreamReceiver:
         out = self._drain(final=True)
         self._buf_i = jnp.zeros((0,), jnp.float32)
         self._buf_q = jnp.zeros((0,), jnp.float32)
+        self._pos = 0
         return out
 
     def _advance(self, n: int) -> None:

@@ -238,3 +238,20 @@ class TestChainIntegration:
         out = CODE.decode(llr, iters=40)
         assert int(jnp.sum(hard != cbits)) > 30   # uncoded floor
         assert int(jnp.sum(out != data)) == 0     # LDPC cleans it
+
+
+class TestInfiniteLlrs:
+    def test_pinned_bits_with_infinite_llrs_decode_clean(self):
+        """±inf LLRs (pinned/shortened bits, standard convention) must not
+        poison the decode: the varying-type tie of the initial messages is
+        inf-safe (review-3 regression test)."""
+        rng = np.random.default_rng(90)
+        data = jnp.asarray(rng.integers(0, 2, (8, CODE.k)), jnp.int32)
+        cw = CODE.encode(data)
+        llr = 4.0 * (1.0 - 2.0 * cw.astype(jnp.float32))
+        # pin the first bit of every codeword with a correctly-signed inf
+        pin = jnp.where(cw[..., 0] == 0, jnp.inf, -jnp.inf)
+        llr = llr.at[..., 0].set(pin)
+        for kw in (dict(schedule="layered"), dict(schedule="flooding")):
+            out = CODE.decode(llr, iters=10, **kw)
+            assert int(jnp.sum(out != data)) == 0, kw

@@ -129,3 +129,25 @@ def test_checkpoint_roundtrip(tmp_path):
     save_state(tmp_path / "stats.npz", st)
     st2 = load_state(tmp_path / "stats.npz", LinkStats.zero())
     assert st2.summary() == st.summary()
+
+
+def test_psum_limb_overflow_safe():
+    """psum with near-full lo limbs on 8 shards: a naive int32 psum of the
+    lo limbs would wrap; the split-limb psum must stay exact."""
+    import dataclasses
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("d",))
+    big = (1 << 30) - 1  # each shard's lo limb at max
+
+    def shard_fn():
+        st = LinkStats.zero()
+        st = dataclasses.replace(
+            st, bit_tot=jnp.asarray([0, big], jnp.int32))
+        return st.psum("d")
+
+    st = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=(),
+                               out_specs=P()))()
+    assert st.n_bits == 8 * big  # 8589934584 > 2^32

@@ -133,3 +133,21 @@ def test_matches_aligned_acquire():
     ref, _ = m.acquire(cap_i, cap_q, N_SYM, max_lag=64)
     np.testing.assert_array_equal(np.asarray(frames[0][0]),
                                   np.asarray(ref))
+
+
+def test_flush_resets_to_fresh_stream():
+    """After flush() the receiver is a fresh stream: global indices of a
+    second session start at 0, and max_lag > frame_len is rejected."""
+    m = _modem()
+    rng = np.random.default_rng(23)
+    bpf = m.bits_per_frame(N_SYM)
+    payloads = [jnp.asarray(rng.integers(0, 2, bpf), jnp.int32)]
+    si, sq, starts = _burst_stream(m, payloads, [100, 80], rng)
+    rxr = OfdmStreamReceiver(m, N_SYM)
+    f1 = rxr.push(jnp.asarray(si), jnp.asarray(sq)) + rxr.flush()
+    f2 = rxr.push(jnp.asarray(si), jnp.asarray(sq)) + rxr.flush()
+    assert len(f1) == len(f2) == 1
+    assert f1[0][1]["start"] == f2[0][1]["start"] == starts[0]
+
+    with pytest.raises(ValueError):
+        OfdmStreamReceiver(m, N_SYM, max_lag=m.frame_len(N_SYM) + 1)
