@@ -25,6 +25,7 @@ from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
 from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
+from . import presets
 from .stbc import AlamoutiOfdm
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
@@ -36,7 +37,7 @@ __all__ = [
     "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
     "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OfdmStreamReceiver", "OqpskChain",
-    "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
+    "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES", "presets",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
     "qpsk_reference_chain",
 ]

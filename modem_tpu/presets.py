@@ -1,0 +1,108 @@
+"""Production presets: one-call constructors for complete, standard-shaped
+link configurations.
+
+Every piece here exists elsewhere in the framework; a preset only fixes the
+composition and the size coupling (payload/CRC/code-block/interleaver/
+OFDM-symbol arithmetic) that a deployment would otherwise re-derive. Each
+returns ready objects with the operating point documented and tested
+(``tests/test_presets.py`` roundtrips each preset at its design SNR).
+
+These are *standard-shaped*, not standard-conformant: grids, codes, and
+rates follow well-known systems (802.11-style OFDM grid, DVB-style
+RS+interleaver+scrambler, CCSDS-style concatenated deep-space coding, GSM's
+GMSK BT=0.3) so the configurations are recognizable and well-conditioned,
+but no bit-exact interop with those standards is claimed — the reference
+(`/root/reference`) defines the interop surface this framework reproduces,
+and it has none of these.
+"""
+
+from __future__ import annotations
+
+from .config import Rates
+from .chain import PulseShapedChain, qpsk_reference_chain
+from .fec import (
+    Puncturer, QcLdpc, ccsds_code, rate34_pattern, rs_255_223, rs_dvb)
+from .gmsk import GmskChain
+from .link import FramedLink
+from .models import make_scheme
+from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
+
+#: The reference binaries' operating point (`modulate.rs` / `demodulate.rs`
+#: defaults): 10 kHz sample rate, 1250 baud.
+REFERENCE_RATES = Rates(baud_rate=1250, sample_rate=10000)
+
+
+def reference_link(payload_bits: int = 1002) -> FramedLink:
+    """The reference flagship chain (QPSK + RRC matched filter) wrapped in
+    the production framing stack (CRC-16 + scrambler + conv K=7 +
+    interleaver). Error-free from about -4 dB SNR per complex sample
+    (rate-1/2 coding gain below the uncoded cliff)."""
+    return FramedLink(qpsk_reference_chain(REFERENCE_RATES),
+                      payload_bits=payload_bits)
+
+
+def wifi_like_ofdm_link(n_ldpc_blocks: int = 8,
+                        ldpc_iters: int = 20) -> FramedLink:
+    """802.11-shaped OFDM link: 64-FFT / 52-used-bin grid, QPSK bins,
+    pilot CPE tracking, QC-LDPC(648,324) inner code, CRC-16 verdicts.
+    ``n_ldpc_blocks`` codewords per frame (8 -> 54 OFDM symbols, 5184
+    wire bits). Decode with ``link.rx((i, q), noise_var)`` on
+    frame-aligned waveforms, or acquire first (:func:`burst_ofdm_receiver`
+    locates frames blindly)."""
+    code = QcLdpc()
+    modem = OfdmModem(make_scheme("qpsk", REFERENCE_RATES))
+    return FramedLink(OfdmChain(modem),
+                      payload_bits=n_ldpc_blocks * code.k - 16,
+                      ldpc=code, ldpc_iters=ldpc_iters)
+
+
+def dvb_like_link(rate34: bool = True) -> FramedLink:
+    """DVB-shaped concatenated link over the QPSK chain: RS(204,188)
+    shortened outer code, convolutional K=7 inner code (punctured to 3/4
+    by default), DVB additive scrambler, block interleaver. Payload is
+    the RS payload (1504 bits = 188 bytes) minus the CRC."""
+    return FramedLink(
+        qpsk_reference_chain(REFERENCE_RATES),
+        rs=rs_dvb(),
+        puncturer=Puncturer(rate34_pattern()) if rate34 else None,
+        interleave_rows=12,
+    )
+
+
+def ccsds_deep_space_link() -> FramedLink:
+    """CCSDS-shaped deep-space concatenated coding: RS(255,223) outer,
+    conv K=7 rate-1/2 inner, interleaved — the classic arrangement for
+    power-limited links. Error-free from about 0 dB SNR per complex
+    sample over the QPSK chain."""
+    return FramedLink(
+        qpsk_reference_chain(REFERENCE_RATES),
+        rs=rs_255_223(),
+        conv=ccsds_code(),
+        interleave_rows=12,  # wire = (255*8 + 6 flush) * 2 = 4092 bits
+    )
+
+
+def gsm_like_gmsk(rates: Rates | None = None) -> GmskChain:
+    """GSM's modulation: GMSK at BT = 0.3 (integer-exact phase backbone,
+    drift-free unbounded streams, discriminator RX with soft LLRs)."""
+    return GmskChain(rates or REFERENCE_RATES, bt=0.3)
+
+
+def qam16_gray_chain(rates: Rates | None = None) -> PulseShapedChain:
+    """Gray-mapped 16-QAM over the RRC matched-filter chain — the
+    bandwidth-efficient single-carrier point (4 bits/symbol, gray BER a
+    4/3 flip-factor below the reference's natural-binary map)."""
+    from .models.qam import QAM
+
+    return PulseShapedChain(QAM(4, 0.0, 6.0, gray=True),
+                            rates or REFERENCE_RATES)
+
+
+def burst_ofdm_receiver(n_symbols: int = 54,
+                        threshold: float = 0.6) -> OfdmStreamReceiver:
+    """Continuous blind burst receiver matched to
+    :func:`wifi_like_ofdm_link`'s default frame geometry (54 payload
+    symbols): push unbounded chunked sample streams, get located frames.
+    Feed each frame's payload to the link's decoder."""
+    modem = OfdmModem(make_scheme("qpsk", REFERENCE_RATES))
+    return OfdmStreamReceiver(modem, n_symbols, threshold=threshold)
