@@ -26,6 +26,7 @@ from .sync import AcquiringReceiver
 from .link import FramedLink
 from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
 from . import presets
+from .scfde import ScFdeChain, ScFdeModem
 from .stbc import AlamoutiOfdm
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
@@ -37,7 +38,8 @@ __all__ = [
     "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
     "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OfdmStreamReceiver", "OqpskChain",
-    "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES", "presets",
+    "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
+    "ScFdeChain", "ScFdeModem", "presets",
     "StreamingFusedChain", "TxState", "WidebandModem", "make_scheme",
     "qpsk_reference_chain",
 ]
