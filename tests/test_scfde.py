@@ -166,3 +166,26 @@ class TestFramedLink:
         out, ok = link.rx((ci, cq), nv)
         assert np.asarray(ok).all()
         np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
+def test_channel_sharded_matches_single_device():
+    """8 channels over an 8-device "ch" mesh through the generic channel
+    sharding: bitwise parity with the single-device rx_frame."""
+    from modem_tpu.parallel import channel_sharded, make_modem_mesh
+
+    m = _modem()
+    mesh = make_modem_mesh(ch=8)
+    rng = np.random.default_rng(12)
+    bits = jnp.asarray(
+        rng.integers(0, 2, (8, m.bits_per_frame(N_BLOCKS))), jnp.int32)
+    i, q = m.tx_frame(bits)
+    ci, cq = multipath_fir(i, q, CH_I, CH_Q)
+
+    def roundtrip(pair):
+        return m.rx_frame(pair[..., 0, :], pair[..., 1, :], N_BLOCKS)
+
+    pair = jnp.stack([ci, cq], axis=-2)
+    ref = roundtrip(pair)
+    out = channel_sharded(roundtrip, mesh)(pair)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(bits))
