@@ -58,6 +58,7 @@ import jax.numpy as jnp
 
 from .ops.fir import fir_filter
 from .ops.llr import lut_llr
+from .ops.sync_metric import periodic_similarity, template_correlate_fir
 from .ops.slicer import lut_map, lut_slice
 from .utils.bits import pack_bits, unpack_symbols
 
@@ -492,33 +493,8 @@ class OfdmModem:
         sums are cumsum differences — O(T) with no loops.
         """
         l = self.n_fft // 4
-        w = self.sym_len - l
-        need = max_lag + self.sym_len
-        if i.shape[-1] < need:
-            raise ValueError(f"need >= {need} samples for max_lag={max_lag}")
-        pi = i[..., :-l] * i[..., l:] + q[..., :-l] * q[..., l:]
-        pq = i[..., :-l] * q[..., l:] - q[..., :-l] * i[..., l:]
-        en1 = i[..., :-l] ** 2 + q[..., :-l] ** 2  # energy of r[d+m]
-        en2 = i[..., l:] ** 2 + q[..., l:] ** 2    # energy of r[d+m+L]
-
-        def wsum(x):  # [..., T-l] -> windowed sum of width w at each lag
-            c = jnp.cumsum(x, axis=-1)
-            zero = jnp.zeros_like(c[..., :1])
-            c = jnp.concatenate([zero, c], axis=-1)
-            return (c[..., w:w + max_lag] - c[..., :max_lag])
-
-        ps_i, ps_q = wsum(pi), wsum(pq)
-        # Symmetric (Minn-style) denominator: R = (E1 + E2)/2, both halves'
-        # windowed energy. Cauchy-Schwarz then bounds M <= 1 with equality
-        # only for genuine period-L self-similarity at matched energy; the
-        # classic E2-only form is numerically arbitrary where the energy
-        # support is sparse (burst tails, zero padding, silence between
-        # bursts) and false-fires a threshold detector there. A tiny
-        # absolute floor guards exact silence.
-        es = 0.5 * (wsum(en1) + wsum(en2))
-        es = jnp.maximum(es, 1e-12)
-        m = (ps_i * ps_i + ps_q * ps_q) / (es * es)
-        return m, ps_i, ps_q
+        return periodic_similarity(i, q, lag=l, width=self.sym_len - l,
+                                   max_lag=max_lag)
 
     def _preamble_correlate(self, ci: jnp.ndarray, cq: jnp.ndarray,
                             max_lag: int, correlator: str):
@@ -540,15 +516,7 @@ class OfdmModem:
         tpl_i = np.asarray(self._preamble_i, np.float32)
         tpl_q = np.asarray(self._preamble_q, np.float32)
         if correlator == "fir":
-            p = self.preamble_len
-            ri, rq = tpl_i[::-1].copy(), tpl_q[::-1].copy()
-            aii, _ = fir_filter(ci, ri)
-            aqq, _ = fir_filter(cq, rq)
-            aqi, _ = fir_filter(cq, ri)
-            aiq, _ = fir_filter(ci, rq)
-            cr = (aii + aqq)[..., p - 1: p - 1 + max_lag]
-            cj = (aqi - aiq)[..., p - 1: p - 1 + max_lag]
-            return cr, cj
+            return template_correlate_fir(ci, cq, tpl_i, tpl_q, max_lag)
         if correlator != "gather":
             raise ValueError(f"unknown correlator {correlator!r}")
         lags = jnp.arange(max_lag, dtype=jnp.int32)[:, None]

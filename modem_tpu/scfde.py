@@ -35,8 +35,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .ofdm import _dft_rows
+from .ofdm import _angle, _dft_rows
 from .ops.llr import lut_llr
+from .ops.sync_metric import periodic_similarity, template_correlate_fir
 from .ops.slicer import lut_map, lut_slice
 from .utils.bits import pack_bits, unpack_symbols
 
@@ -95,8 +96,15 @@ class ScFdeModem:
         # computed value per bin anyway (float rounding)
         self._zf_m2 = self._zf_i ** 2 + self._zf_q ** 2
 
+        # full preamble template (CP'd ZC blocks) for blind fine timing
+        self._preamble_i = np.tile(
+            np.concatenate([zi[-self.cp:], zi]), self.n_ltf)
+        self._preamble_q = np.tile(
+            np.concatenate([zq[-self.cp:], zq]), self.n_ltf)
+
     # ------------------------------------------------------------------
 
+    @property
     def preamble_len(self) -> int:
         return self.n_ltf * self.sym_len
 
@@ -138,16 +146,10 @@ class ScFdeModem:
         shape = syms.shape[:-1] + (-1, self.n)
         pi = self._add_cp(di.reshape(shape))
         pq = self._add_cp(dq.reshape(shape))
-        hi = jnp.broadcast_to(
-            jnp.asarray(np.tile(
-                np.concatenate([self._zc_i[-self.cp:], self._zc_i]),
-                self.n_ltf)),
-            pi.shape[:-1] + (self.preamble_len(),))
-        hq = jnp.broadcast_to(
-            jnp.asarray(np.tile(
-                np.concatenate([self._zc_q[-self.cp:], self._zc_q]),
-                self.n_ltf)),
-            pq.shape[:-1] + (self.preamble_len(),))
+        hi = jnp.broadcast_to(jnp.asarray(self._preamble_i),
+                              pi.shape[:-1] + (self.preamble_len,))
+        hq = jnp.broadcast_to(jnp.asarray(self._preamble_q),
+                              pq.shape[:-1] + (self.preamble_len,))
         return (jnp.concatenate([hi, pi], axis=-1),
                 jnp.concatenate([hq, pq], axis=-1))
 
@@ -199,7 +201,7 @@ class ScFdeModem:
                  noise_var: float = 0.0) -> jnp.ndarray:
         """Frame-aligned waveform -> hard bits (channel re-estimated from
         the frame's own training blocks)."""
-        p = self.preamble_len()
+        p = self.preamble_len
         h = self.estimate_channel(i[..., :p], q[..., :p])
         di, dq, _ = self._equalize(i[..., p:], q[..., p:], n_blocks, h,
                                    noise_var)
@@ -211,7 +213,7 @@ class ScFdeModem:
                       n_blocks: int, noise_var: float) -> jnp.ndarray:
         """Frame-aligned waveform -> max-log LLRs scaled by the post-FDE
         SNR (what downstream soft FEC expects)."""
-        p = self.preamble_len()
+        p = self.preamble_len
         h = self.estimate_channel(i[..., :p], q[..., :p])
         di, dq, mse = self._equalize(i[..., p:], q[..., p:], n_blocks, h,
                                      noise_var)
@@ -219,6 +221,65 @@ class ScFdeModem:
         w = 2.0 / jnp.maximum(mse, 1e-12)  # per-rail var = mse/2
         llr = llr * w[..., None, None]
         return llr.reshape(llr.shape[:-2] + (-1,))
+
+
+    # ------------------------------------------------------------------
+    # Blind acquisition (same front end shape as OfdmModem: coarse
+    # periodic-similarity timing + CFO, derotate, FIR-template fine
+    # timing) -- the repeated CP'd ZC training blocks give a period of
+    # exactly sym_len samples over the whole preamble.
+    # ------------------------------------------------------------------
+
+    def sc_metric(self, i: jnp.ndarray, q: jnp.ndarray, max_lag: int):
+        """Periodic-similarity timing metric over lags ``[0, max_lag)``
+        using the training blocks' ``sym_len`` repetition (needs
+        ``n_ltf >= 2``). Returns ``(M, P_i, P_q)``, ``M in [0, 1]``."""
+        if self.n_ltf < 2:
+            raise ValueError("blind sync needs n_ltf >= 2 training blocks")
+        return periodic_similarity(i, q, lag=self.sym_len,
+                                   width=self.sym_len, max_lag=max_lag)
+
+    def locate_frame(self, i: jnp.ndarray, q: jnp.ndarray,
+                     n_blocks: int, max_lag: int):
+        """Blind front end: coarse timing + fractional CFO (range
+        ``±0.5/sym_len`` cycles/sample -- tighter than OFDM's because the
+        repetition period is a whole block), derotation, full-preamble
+        FIR fine timing, aligned-frame gather. Returns
+        ``(fi, fq, report)``."""
+        need = max_lag + self.frame_len(n_blocks)
+        if i.shape[-1] < need:
+            pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],), i.dtype)
+            i = jnp.concatenate([i, pad], axis=-1)
+            q = jnp.concatenate([q, pad], axis=-1)
+        m, ps_i, ps_q = self.sc_metric(i, q, max_lag + self.cp)
+        coarse = jnp.argmax(m, axis=-1)
+        pk_i = jnp.take_along_axis(ps_i, coarse[..., None], axis=-1)
+        pk_q = jnp.take_along_axis(ps_q, coarse[..., None], axis=-1)
+        cfo = _angle(pk_i, pk_q) / self.sym_len  # rad/sample
+        n = jnp.arange(i.shape[-1], dtype=jnp.float32)
+        th = -cfo * n
+        c, s = jnp.cos(th), jnp.sin(th)
+        ci = i * c - q * s
+        cq = i * s + q * c
+        cr, cj = template_correlate_fir(ci, cq, self._preamble_i,
+                                        self._preamble_q, max_lag)
+        start = jnp.argmax(cr * cr + cj * cj, axis=-1).astype(jnp.int32)
+        flen = self.frame_len(n_blocks)
+        fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
+        fi = jnp.take_along_axis(ci, fidx, axis=-1)
+        fq = jnp.take_along_axis(cq, fidx, axis=-1)
+        report = {"start": start, "cfo_rad_per_sample": cfo[..., 0],
+                  "sc_peak": jnp.take_along_axis(m, coarse[..., None],
+                                                 axis=-1)[..., 0]}
+        return fi, fq, report
+
+    def acquire(self, i: jnp.ndarray, q: jnp.ndarray, n_blocks: int,
+                max_lag: int, noise_var: float = 0.0):
+        """Blind RX: unknown frame start in ``[0, max_lag)``, small CFO,
+        flat gain/phase and CP-short multipath. Returns
+        ``(bits, report)``."""
+        fi, fq, report = self.locate_frame(i, q, n_blocks, max_lag)
+        return self.rx_frame(fi, fq, n_blocks, noise_var), report
 
 
 class ScFdeChain:

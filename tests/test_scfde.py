@@ -64,7 +64,7 @@ class TestRoundtrip:
         bits = _bits(m, seed=2)
         i, q = m.tx_frame(bits)
         ci, cq = multipath_fir(i, q, CH_I, CH_Q)
-        p = m.preamble_len()
+        p = m.preamble_len
         hi, hq = m.estimate_channel(ci[..., :p], cq[..., :p])
         # truth: DFT of the channel taps at all N bins
         k = np.arange(m.n)[:, None]
@@ -189,3 +189,62 @@ def test_channel_sharded_matches_single_device():
     out = channel_sharded(roundtrip, mesh)(pair)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(bits))
+
+
+class TestAcquire:
+    def test_blind_acquire_under_offset_cfo_gain(self):
+        from modem_tpu.ops.impairments import apply_cfo, apply_gain_phase
+
+        m = _modem()
+        bits = _bits(m, channels=3, seed=14)
+        i, q = m.tx_frame(bits)
+        gap = jnp.zeros(i.shape[:-1] + (41,), i.dtype)
+        ci = jnp.concatenate([gap, i], -1)
+        cq = jnp.concatenate([gap, q], -1)
+        ci, cq = multipath_fir(ci, cq, CH_I, CH_Q)
+        # CFO within the sym_len-period estimator's range (< pi/sym_len)
+        cfo_cps = 0.3 / m.sym_len  # cycles/sample
+        ci, cq = apply_cfo(ci, cq, cfo_hz=cfo_cps, sample_rate=1)
+        ci, cq = apply_gain_phase(ci, cq, gain=1.3, phase=-1.1)
+        p = float(jnp.mean(ci * ci + cq * cq))
+        ci, cq = awgn(jax.random.key(15), ci, cq, 30.0, signal_power=p)
+        nv = p / (10.0 ** (30.0 / 10.0))
+        out, rep = m.acquire(ci, cq, N_BLOCKS, max_lag=128, noise_var=nv)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+        assert np.all(np.abs(np.asarray(rep["start"]) - 41) <= 4)
+        cfo_true = 2 * np.pi * cfo_cps
+        assert np.all(np.abs(np.asarray(rep["cfo_rad_per_sample"])
+                             - cfo_true) < 0.1 * cfo_true + 1e-4)
+
+    def test_stream_receiver_works_on_scfde(self):
+        """The burst stream receiver is waveform-agnostic: SC-FDE frames in
+        a noisy stream are detected and decoded exactly."""
+        from modem_tpu import OfdmStreamReceiver
+
+        m = _modem()
+        rng = np.random.default_rng(16)
+        bits = [jnp.asarray(rng.integers(
+            0, 2, m.bits_per_frame(N_BLOCKS)), jnp.int32)
+            for _ in range(2)]
+        amp = 10.0 ** (-30.0 / 20.0)
+        segs_i, segs_q, starts, pos = [], [], [], 0
+        for g, b in [(97, bits[0]), (230, bits[1]), (60, None)]:
+            segs_i.append(amp * rng.standard_normal(g).astype(np.float32))
+            segs_q.append(amp * rng.standard_normal(g).astype(np.float32))
+            pos += g
+            if b is None:
+                break
+            i, q = m.tx_frame(b)
+            segs_i.append(np.asarray(i))
+            segs_q.append(np.asarray(q))
+            starts.append(pos)
+            pos += i.shape[-1]
+        si = np.concatenate(segs_i)
+        sq = np.concatenate(segs_q)
+        rxr = OfdmStreamReceiver(m, N_BLOCKS)
+        frames = rxr.push(jnp.asarray(si), jnp.asarray(sq)) + rxr.flush()
+        assert len(frames) == 2
+        for (got, rep), want, t0 in zip(frames, bits, starts):
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+            assert abs(rep["start"] - t0) <= 4
