@@ -11,12 +11,14 @@ from .conv import ConvCode, StreamingViterbi, ccsds_code
 from .crc import Crc, crc16_ccitt, crc32_mpeg2
 from .interleave import block_deinterleave, block_interleave
 from .ldpc import QcLdpc
+from .polar import PolarCode
 from .puncture import Puncturer, rate23_pattern, rate34_pattern
 from .rs import ReedSolomon, rs_255_223, rs_dvb
 from .scramble import Scrambler, dvb_scrambler, ieee80211_scrambler
 
 __all__ = [
-    "ConvCode", "Crc", "Puncturer", "QcLdpc", "ReedSolomon", "Scrambler",
+    "ConvCode", "Crc", "PolarCode", "Puncturer", "QcLdpc", "ReedSolomon",
+    "Scrambler",
     "StreamingViterbi", "block_deinterleave",
     "block_interleave", "ccsds_code", "crc16_ccitt", "crc32_mpeg2",
     "dvb_scrambler", "ieee80211_scrambler", "rate23_pattern",
