@@ -245,6 +245,45 @@ def main():
               make_ldpc_dec(it, "layered", mdt, ee),
               (ldpc_llrs, ldpc_bits), ldpc_info, n_blocks=ldpc_blocks)
 
+    # ---- Polar (256, 128): batched SC tree (round 3) ----
+    from modem_tpu.fec import PolarCode
+
+    polar = PolarCode(256, 128)
+    pol_ch = int(os.environ.get("BENCH_POLAR_CHANNELS", 4096))
+    pol_blocks = max(4, N_BLOCKS // 4)
+
+    @jax.jit
+    def make_polar(k):
+        kb, kn = jax.random.split(k)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (pol_blocks, pol_ch, polar.k)).astype(jnp.int32)
+        c = polar.encode(bits)
+        y = (1.0 - 2.0 * c
+             + 0.3 * jax.random.normal(kn, c.shape, jnp.float32))
+        return bits, 2.0 * y / (0.3 * 0.3)
+
+    pol_bits, pol_llrs = make_polar(jax.random.key(3))
+
+    @jax.jit
+    def run_polar_enc(bits):
+        def body(acc, b):
+            return acc + jnp.sum(polar.encode(b)), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
+        return jnp.stack([acc, acc])
+
+    @jax.jit
+    def run_polar_dec(llrs, bits):
+        def body(acc, lam):
+            return acc + jnp.sum(polar.decode(lam)), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+        return jnp.stack([acc, jnp.sum(bits)])
+
+    pol_info = pol_ch * polar.k
+    bench("Polar(256,128) encode (butterfly)", run_polar_enc,
+          (pol_bits,), pol_info, n_blocks=pol_blocks)
+    bench("Polar(256,128) SC decode", run_polar_dec,
+          (pol_llrs, pol_bits), pol_info, n_blocks=pol_blocks)
+
 
 if __name__ == "__main__":
     main()
