@@ -27,7 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .fec import (
-    ConvCode, Crc, Puncturer, QcLdpc, ReedSolomon, Scrambler,
+    ConvCode, Crc, PolarCode, Puncturer, QcLdpc, ReedSolomon, Scrambler,
     block_deinterleave, block_interleave, ccsds_code, crc16_ccitt,
     dvb_scrambler,
 )
@@ -44,7 +44,8 @@ class FramedLink:
     ``ldpc`` replaces the convolutional inner code with a QC-LDPC
     (:class:`modem_tpu.fec.QcLdpc`): the framed block must then be a whole
     number of LDPC data blocks (``coded_in % ldpc.k == 0``), and
-    puncturing does not apply.
+    puncturing does not apply. ``polar`` likewise selects a polar inner
+    code (:class:`modem_tpu.fec.PolarCode`, ``coded_in % polar.k == 0``).
     """
 
     def __init__(self, chain, payload_bits: int | None = None,
@@ -55,15 +56,18 @@ class FramedLink:
                  scrambler: Scrambler | None = None,
                  crc: Crc | None = None,
                  ldpc: QcLdpc | None = None,
-                 ldpc_iters: int = 30):
-        if ldpc is not None and conv is not None:
-            raise ValueError("choose one inner code: conv or ldpc")
-        if ldpc is not None and puncturer is not None:
+                 ldpc_iters: int = 30,
+                 polar: PolarCode | None = None):
+        n_inner = sum(x is not None for x in (conv, ldpc, polar))
+        if n_inner > 1:
+            raise ValueError("choose one inner code: conv, ldpc, or polar")
+        if puncturer is not None and (ldpc is not None or polar is not None):
             raise ValueError("puncturing applies to the conv inner code")
         self.chain = chain
         self.ldpc = ldpc
         self.ldpc_iters = int(ldpc_iters)
-        self.conv = (None if ldpc is not None
+        self.polar = polar
+        self.conv = (None if (ldpc is not None or polar is not None)
                      else (ccsds_code() if conv is None else conv))
         self.rs = rs
         self.puncturer = puncturer
@@ -91,6 +95,13 @@ class FramedLink:
                     f"LDPC data size {ldpc.k}; adjust payload_bits")
             self._steps = coded_in // ldpc.k  # LDPC codewords per frame
             wire = self._steps * ldpc.n
+        elif polar is not None:
+            if coded_in % polar.k:
+                raise ValueError(
+                    f"framed block of {coded_in} bits must divide by the "
+                    f"polar data size {polar.k}; adjust payload_bits")
+            self._steps = coded_in // polar.k  # polar codewords per frame
+            wire = self._steps * polar.n
         else:
             steps = coded_in + (self.conv.k - 1)
             if puncturer is not None and steps % puncturer.period:
@@ -130,6 +141,11 @@ class FramedLink:
             x = x.reshape(x.shape[:-1] + (m, self.ldpc.k))
             x = self.ldpc.encode(x)
             x = x.reshape(x.shape[:-2] + (m * self.ldpc.n,))
+        elif self.polar is not None:
+            m = self._steps
+            x = x.reshape(x.shape[:-1] + (m, self.polar.k))
+            x = self.polar.encode(x)
+            x = x.reshape(x.shape[:-2] + (m * self.polar.n,))
         else:
             x = self.conv.encode(x)
             if self.puncturer is not None:
@@ -155,6 +171,11 @@ class FramedLink:
             x = x.reshape(x.shape[:-1] + (m, self.ldpc.n))
             x = self.ldpc.decode(x, iters=self.ldpc_iters)
             x = x.reshape(x.shape[:-2] + (m * self.ldpc.k,))
+        elif self.polar is not None:
+            m = self._steps
+            x = x.reshape(x.shape[:-1] + (m, self.polar.n))
+            x = self.polar.decode(x)
+            x = x.reshape(x.shape[:-2] + (m * self.polar.k,))
         else:
             if self.puncturer is not None:
                 x = self.puncturer.depuncture(x, self._steps)

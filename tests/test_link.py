@@ -150,3 +150,30 @@ class TestSizeSolverFuzz:
             np.testing.assert_array_equal(np.asarray(out),
                                           np.asarray(payload))
         assert built >= 5  # the solver accepts a healthy fraction
+
+
+class TestPolarInner:
+    def test_polar_framed_link(self):
+        """Polar inner code in the framed link: exact payloads + true CRC
+        verdicts at an SNR where the raw channel is demonstrably noisy."""
+        from modem_tpu.fec import PolarCode
+
+        code = PolarCode(256, 128)
+        link = FramedLink(qpsk_reference_chain(RATES),
+                          payload_bits=4 * code.k - 16, polar=code)
+        assert link.wire_bits == 4 * code.n
+        errs, ok, n = _run(link, snr_db=-2.0, seed=7)
+        assert errs == 0 and ok.all()
+
+    def test_polar_excludes_other_inners(self):
+        from modem_tpu.fec import PolarCode, QcLdpc
+
+        chain = qpsk_reference_chain(RATES)
+        with pytest.raises(ValueError):
+            FramedLink(chain, payload_bits=100, polar=PolarCode(64, 32),
+                       ldpc=QcLdpc())
+        with pytest.raises(ValueError):
+            FramedLink(chain, payload_bits=100, polar=PolarCode(64, 32),
+                       puncturer=Puncturer(rate34_pattern()))
+        with pytest.raises(ValueError):  # size coupling
+            FramedLink(chain, payload_bits=100, polar=PolarCode(64, 32))
