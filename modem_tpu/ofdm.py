@@ -58,7 +58,8 @@ import jax.numpy as jnp
 
 from .ops.fir import fir_filter
 from .ops.llr import lut_llr
-from .ops.sync_metric import periodic_similarity, template_correlate_fir
+from .ops.sync_metric import (aligned_frame_matmul, periodic_similarity,
+                              template_correlate_fir)
 from .ops.slicer import lut_map, lut_slice
 from .utils.bits import pack_bits, unpack_symbols
 
@@ -530,12 +531,19 @@ class OfdmModem:
 
     def locate_frame(self, i: jnp.ndarray, q: jnp.ndarray,
                      n_symbols: int, max_lag: int,
-                     correlator: str = "fir"):
+                     correlator: str = "fir", aligner: str = "matmul"):
         """The blind front end shared by :meth:`acquire` and
         :meth:`acquire_soft`: S&C coarse timing + closed-form fractional
         CFO, derotation, full-preamble fine timing, and the aligned-frame
-        gather. Returns ``(fi, fq, report)`` — the CFO-corrected frame at
-        the located start plus the sync report."""
+        extraction. Returns ``(fi, fq, report)`` — the CFO-corrected
+        frame at the located start plus the sync report.
+
+        ``aligner``: ``"matmul"`` (default) extracts the located frame
+        with the banded one-hot matmul (`ops.sync_metric.
+        aligned_frame_matmul`) — the per-channel ``take_along_axis``
+        gather it replaces was measured at ~82% of the whole acquire
+        pass (BENCH.md round 3). ``"gather"`` keeps that form as the
+        A/B reference."""
         need = max_lag + self.frame_len(n_symbols)
         if i.shape[-1] < need:
             pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],), i.dtype)
@@ -562,11 +570,16 @@ class OfdmModem:
         #    corrected, so the long coherent window is safe.
         cr, cj = self._preamble_correlate(ci, cq, max_lag, correlator)
         start = jnp.argmax(cr * cr + cj * cj, axis=-1).astype(jnp.int32)
-        # 4) gather the frame at the located start and run the aligned RX
+        # 4) extract the frame at the located start and run the aligned RX
         flen = self.frame_len(n_symbols)
-        fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
-        fi = jnp.take_along_axis(ci, fidx, axis=-1)
-        fq = jnp.take_along_axis(cq, fidx, axis=-1)
+        if aligner == "matmul":
+            fi, fq = aligned_frame_matmul(ci, cq, start, flen, max_lag)
+        elif aligner == "gather":
+            fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
+            fi = jnp.take_along_axis(ci, fidx, axis=-1)
+            fq = jnp.take_along_axis(cq, fidx, axis=-1)
+        else:
+            raise ValueError(f"unknown aligner {aligner!r}")
         report = {"start": start, "cfo_rad_per_sample": cfo[..., 0],
                   "sc_peak": jnp.take_along_axis(m, coarse[..., None],
                                                  axis=-1)[..., 0]}

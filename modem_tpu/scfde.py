@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from .ofdm import _angle, _dft_rows
 from .ops.llr import lut_llr
-from .ops.sync_metric import periodic_similarity, template_correlate_fir
+from .ops.sync_metric import (aligned_frame_matmul, periodic_similarity,
+                              template_correlate_fir)
 from .ops.slicer import lut_map, lut_slice
 from .utils.bits import pack_bits, unpack_symbols
 
@@ -240,12 +241,15 @@ class ScFdeModem:
                                    width=self.sym_len, max_lag=max_lag)
 
     def locate_frame(self, i: jnp.ndarray, q: jnp.ndarray,
-                     n_blocks: int, max_lag: int):
+                     n_blocks: int, max_lag: int,
+                     aligner: str = "matmul"):
         """Blind front end: coarse timing + fractional CFO (range
         ``±0.5/sym_len`` cycles/sample -- tighter than OFDM's because the
         repetition period is a whole block), derotation, full-preamble
-        FIR fine timing, aligned-frame gather. Returns
-        ``(fi, fq, report)``."""
+        FIR fine timing, aligned-frame extraction (one-hot matmul by
+        default; ``aligner="gather"`` keeps the ``take_along_axis`` form
+        as the A/B reference — see :func:`ops.sync_metric.
+        aligned_frame_matmul`). Returns ``(fi, fq, report)``."""
         need = max_lag + self.frame_len(n_blocks)
         if i.shape[-1] < need:
             pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],), i.dtype)
@@ -265,9 +269,14 @@ class ScFdeModem:
                                         self._preamble_q, max_lag)
         start = jnp.argmax(cr * cr + cj * cj, axis=-1).astype(jnp.int32)
         flen = self.frame_len(n_blocks)
-        fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
-        fi = jnp.take_along_axis(ci, fidx, axis=-1)
-        fq = jnp.take_along_axis(cq, fidx, axis=-1)
+        if aligner == "matmul":
+            fi, fq = aligned_frame_matmul(ci, cq, start, flen, max_lag)
+        elif aligner == "gather":
+            fidx = start[..., None] + jnp.arange(flen, dtype=jnp.int32)
+            fi = jnp.take_along_axis(ci, fidx, axis=-1)
+            fq = jnp.take_along_axis(cq, fidx, axis=-1)
+        else:
+            raise ValueError(f"unknown aligner {aligner!r}")
         report = {"start": start, "cfo_rad_per_sample": cfo[..., 0],
                   "sc_peak": jnp.take_along_axis(m, coarse[..., None],
                                                  axis=-1)[..., 0]}

@@ -436,6 +436,26 @@ class TestAcquire:
         np.testing.assert_allclose(np.asarray(cj_f), np.asarray(cj_g),
                                    rtol=2e-4, atol=2e-3)
 
+    def test_matmul_aligner_matches_gather(self):
+        """The one-hot matmul frame aligner (default; the take_along_axis
+        gather was ~82% of the acquire pass on hardware, BENCH.md) is
+        EXACTLY the gather it replaces — same start, same frame samples,
+        same bits."""
+        m = _modem()
+        bits = _bits(m, channels=3, seed=33)
+        i, q = m.tx_frame(bits)
+        ci, cq = self._impair(i, q, offset=61, cfo_bins=-0.7)
+        fi_m, fq_m, rep_m = m.locate_frame(ci, cq, N_SYM, max_lag=128,
+                                           aligner="matmul")
+        fi_g, fq_g, rep_g = m.locate_frame(ci, cq, N_SYM, max_lag=128,
+                                           aligner="gather")
+        np.testing.assert_array_equal(np.asarray(rep_m["start"]),
+                                      np.asarray(rep_g["start"]))
+        np.testing.assert_array_equal(np.asarray(fi_m), np.asarray(fi_g))
+        np.testing.assert_array_equal(np.asarray(fq_m), np.asarray(fq_g))
+        out = m.rx_frame(fi_m, fq_m, N_SYM)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
     def test_acquire_pads_short_capture(self):
         m = _modem()
         bits = _bits(m, channels=1)

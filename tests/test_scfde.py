@@ -215,6 +215,13 @@ class TestAcquire:
         cfo_true = 2 * np.pi * cfo_cps
         assert np.all(np.abs(np.asarray(rep["cfo_rad_per_sample"])
                              - cfo_true) < 0.1 * cfo_true + 1e-4)
+        # the default matmul frame aligner is EXACTLY the gather form
+        fi_m, fq_m, _ = m.locate_frame(ci, cq, N_BLOCKS, max_lag=128,
+                                       aligner="matmul")
+        fi_g, fq_g, _ = m.locate_frame(ci, cq, N_BLOCKS, max_lag=128,
+                                       aligner="gather")
+        np.testing.assert_array_equal(np.asarray(fi_m), np.asarray(fi_g))
+        np.testing.assert_array_equal(np.asarray(fq_m), np.asarray(fq_g))
 
     def test_stream_receiver_works_on_scfde(self):
         """The burst stream receiver is waveform-agnostic: SC-FDE frames in
