@@ -17,6 +17,15 @@ Rows:
 * Reed-Solomon encode/decode.
 
 Metric: info bits/s through each op (coded bits/s is 2x for rate 1/2).
+
+Round-3 floor correction: at the round-2 geometry several rows' whole
+pass sat ON the ~31 ms dispatch/fetch floor (LDPC 8 blocks = 10.6 Mbit
+info -> 29 ms/pass at the reported 360 Mbit/s; polar and RS passes ~25 ms;
+conv encode 34 ms) — the same round-1 mistake BENCH.md documents for the
+flagship. Each family now gets its own block count sized so a pass costs
+several x the floor (env-overridable), with int8 bit tensors and bf16 LLR
+storage where the working set would otherwise crowd HBM. The checksum
+gates are unchanged.
 """
 
 from __future__ import annotations
@@ -39,6 +48,12 @@ from modem_tpu.fec import ccsds_code, crc16_ccitt, dvb_scrambler
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
 N_DATA = int(os.environ.get("BENCH_DATA_BITS", 4096))
 N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 32))
+# per-family block counts: sized so each pass costs several x the ~31 ms
+# dispatch floor (see module docstring)
+ENC_BLOCKS = int(os.environ.get("BENCH_ENC_BLOCKS", 256))
+RS_BLOCKS = int(os.environ.get("BENCH_RS_BLOCKS", 64))
+LDPC_BLOCKS = int(os.environ.get("BENCH_LDPC_BLOCKS", 64))
+POLAR_BLOCKS = int(os.environ.get("BENCH_POLAR_BLOCKS", 64))
 PASSES = 5
 
 
@@ -109,15 +124,25 @@ def main():
     # encode/framing are deterministic transforms whose correctness is
     # covered by the test suite; the duplicated checksum just satisfies
     # the single-fetch shape (the fetch still proves the work ran).
+    # They are cheap per block, so they get their own (large) block count
+    # and an int8 bit tensor — at the shared 32-block geometry the whole
+    # pass sat on the dispatch floor.
+    @jax.jit
+    def make_enc_bits(k):
+        return jax.random.bernoulli(
+            k, 0.5, (ENC_BLOCKS, CHANNELS, N_DATA)).astype(jnp.int8)
+
+    enc_bits = make_enc_bits(jax.random.key(7))
+
     @jax.jit
     def run_encode(bits):
         def body(acc, b):
-            return acc + jnp.sum(code.encode(b)), None
+            return acc + jnp.sum(code.encode(b.astype(jnp.int32))), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
         return jnp.stack([acc, acc])
 
-    bench("conv encode (rate 1/2, K=7)", run_encode, (bits,),
-          CHANNELS * N_DATA)
+    bench("conv encode (rate 1/2, K=7)", run_encode, (enc_bits,),
+          CHANNELS * N_DATA, n_blocks=ENC_BLOCKS)
 
     scr = dvb_scrambler()
     crc = crc16_ccitt()
@@ -126,20 +151,20 @@ def main():
     @jax.jit
     def run_framing(bits):
         def body(acc, b):
-            f = crc.append(b)
+            f = crc.append(b.astype(jnp.int32))
             s, _ = scr.scramble(f, st)
             return acc + jnp.sum(s), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
         return jnp.stack([acc, acc])
 
-    bench("framing: CRC-16 append + scramble", run_framing, (bits,),
-          CHANNELS * N_DATA)
+    bench("framing: CRC-16 append + scramble", run_framing, (enc_bits,),
+          CHANNELS * N_DATA, n_blocks=ENC_BLOCKS)
 
     from modem_tpu.fec import rs_255_223
 
     rs = rs_255_223()
     n_cw = int(os.environ.get("BENCH_RS_CODEWORDS", 512))
-    rs_blocks = max(4, N_BLOCKS // 8)
+    rs_blocks = RS_BLOCKS
 
     @jax.jit
     def make_rs(k):
@@ -191,26 +216,29 @@ def main():
 
     ldpc = QcLdpc()
     ldpc_ch = int(os.environ.get("BENCH_LDPC_CHANNELS", 4096))
-    ldpc_blocks = max(4, N_BLOCKS // 4)
+    ldpc_blocks = LDPC_BLOCKS
 
     @jax.jit
     def make_ldpc(k):
         kb, kn = jax.random.split(k)
         bits = jax.random.bernoulli(
-            kb, 0.5, (ldpc_blocks, ldpc_ch, ldpc.k)).astype(jnp.int32)
-        c = ldpc.encode(bits)
+            kb, 0.5, (ldpc_blocks, ldpc_ch, ldpc.k)).astype(jnp.int8)
+        c = ldpc.encode(bits.astype(jnp.int32))
         # sigma 0.35 ~ Eb/N0 7 dB: deep in the error-free region, so the
-        # decoded checksum doubles as the correctness gate
+        # decoded checksum doubles as the correctness gate. bf16 channel
+        # LLR *storage* (64 blocks of f32 would crowd HBM) — the decoder
+        # computes in f32; bf16 input quantization is far below min-sum's
+        # sensitivity (the stored-bf16-message variant is BER-tested).
         y = (1.0 - 2.0 * c
              + 0.35 * jax.random.normal(kn, c.shape, jnp.float32))
-        return bits, 2.0 * y / (0.35 * 0.35)
+        return bits, (2.0 * y / (0.35 * 0.35)).astype(jnp.bfloat16)
 
     ldpc_bits, ldpc_llrs = make_ldpc(jax.random.key(2))
 
     @jax.jit
     def run_ldpc_enc(bits):
         def body(acc, b):
-            return acc + jnp.sum(ldpc.encode(b)), None
+            return acc + jnp.sum(ldpc.encode(b.astype(jnp.int32))), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
         return jnp.stack([acc, acc])
 
@@ -224,7 +252,7 @@ def main():
                                   early_exit=early_exit)
                 return acc + jnp.sum(out), None
             acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
-            return jnp.stack([acc, jnp.sum(bits)])
+            return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
         return run
 
     ldpc_info = ldpc_ch * ldpc.k
@@ -250,24 +278,24 @@ def main():
 
     polar = PolarCode(256, 128)
     pol_ch = int(os.environ.get("BENCH_POLAR_CHANNELS", 4096))
-    pol_blocks = max(4, N_BLOCKS // 4)
+    pol_blocks = POLAR_BLOCKS
 
     @jax.jit
     def make_polar(k):
         kb, kn = jax.random.split(k)
         bits = jax.random.bernoulli(
-            kb, 0.5, (pol_blocks, pol_ch, polar.k)).astype(jnp.int32)
-        c = polar.encode(bits)
+            kb, 0.5, (pol_blocks, pol_ch, polar.k)).astype(jnp.int8)
+        c = polar.encode(bits.astype(jnp.int32))
         y = (1.0 - 2.0 * c
              + 0.3 * jax.random.normal(kn, c.shape, jnp.float32))
-        return bits, 2.0 * y / (0.3 * 0.3)
+        return bits, (2.0 * y / (0.3 * 0.3)).astype(jnp.bfloat16)
 
     pol_bits, pol_llrs = make_polar(jax.random.key(3))
 
     @jax.jit
     def run_polar_enc(bits):
         def body(acc, b):
-            return acc + jnp.sum(polar.encode(b)), None
+            return acc + jnp.sum(polar.encode(b.astype(jnp.int32))), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
         return jnp.stack([acc, acc])
 
@@ -276,7 +304,7 @@ def main():
         def body(acc, lam):
             return acc + jnp.sum(polar.decode(lam)), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
-        return jnp.stack([acc, jnp.sum(bits)])
+        return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
 
     pol_info = pol_ch * polar.k
     bench("Polar(256,128) encode (butterfly)", run_polar_enc,
