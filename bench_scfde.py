@@ -6,6 +6,13 @@ compiled function, >= 5 passes, best + spread. Rows: tx_frame, rx_frame
 (zero-forcing exact at 30 dB, on-device gate), rx_frame MMSE.
 
 Metric: wideband samples/s (frame samples incl. training blocks).
+
+Round-3 floor correction (same as bench_ofdm.py): the round-2 geometry
+put whole passes ON the ~31 ms dispatch floor — hence that capture's
+29-88% spreads. Default is now 256 frames/pass with bf16 waveform
+storage (f32 compute; the -45 dB storage quantization is far under the
+30 dB AWGN the exactness gate absorbs), plus a floor-free marginal rate
+between quarter- and full-pass workloads on the tx/rx rows.
 """
 
 from __future__ import annotations
@@ -29,12 +36,24 @@ from modem_tpu.scfde import ScFdeModem
 
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 256))
 N_BLK = int(os.environ.get("BENCH_SCFDE_BLOCKS", 64))  # SC-FDE blocks/frame
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 64))     # frames per pass
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 256))    # frames per pass
 PASSES = 5
 RATES = Rates(baud_rate=1250, sample_rate=10000)
 
 
-def bench(name, fn, args, samples_per_block, n_blocks=N_BLOCKS):
+def _time(fn, args, expect):
+    times = []
+    got = None
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        got = int(np.asarray(fn(*args))[0])
+        times.append(time.perf_counter() - t0)
+    assert got == expect
+    return min(times), (max(times) - min(times)) / min(times)
+
+
+def bench(name, fn, args, samples_per_block, n_blocks=N_BLOCKS,
+          quarter_fn=None):
     try:
         vals = np.asarray(fn(*args))
         got, expect = int(vals[0]), int(vals[1])
@@ -43,17 +62,18 @@ def bench(name, fn, args, samples_per_block, n_blocks=N_BLOCKS):
         print(f"{name:46s}  FAILED: {type(e).__name__}: {str(e)[:100]}",
               flush=True)
         return
-    times = []
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        got = int(np.asarray(fn(*args))[0])
-        times.append(time.perf_counter() - t0)
-    assert got == expect
-    best = min(times)
-    spread = (max(times) - best) / best
+    best, spread = _time(fn, args, expect)
     rate = n_blocks * samples_per_block / best
-    print(f"{name:46s}  {rate / 1e9:7.3f} GSamp/s  "
-          f"(spread {spread * 100:3.0f}%)", flush=True)
+    line = (f"{name:46s}  {rate / 1e9:7.3f} GSamp/s  "
+            f"(spread {spread * 100:3.0f}%)")
+    if quarter_fn is not None:
+        vq = np.asarray(quarter_fn(*args))
+        bq, _ = _time(quarter_fn, args, int(vq[1]))
+        if best > bq:
+            marg = (n_blocks - n_blocks // 4) * samples_per_block / (
+                best - bq)
+            line += f"  marginal {marg / 1e9:6.2f}"
+    print(line, flush=True)
 
 
 def rows(scheme_name):
@@ -65,39 +85,49 @@ def rows(scheme_name):
     def make(k):
         kb, kn = jax.random.split(k)
         bits = jax.random.bernoulli(
-            kb, 0.5, (N_BLOCKS, CHANNELS, nbits)).astype(jnp.int32)
+            kb, 0.5, (N_BLOCKS, CHANNELS, nbits)).astype(jnp.int8)
         _, w = jax.lax.scan(
-            lambda c, b: (c, jnp.stack(m.tx_frame(b))), 0, bits)
+            lambda c, b: (c, jnp.stack(m.tx_frame(b.astype(jnp.int32)))),
+            0, bits)
         ni, nq = awgn(kn, w[:, 0], w[:, 1], 30.0)
-        return bits, ni, nq
+        return bits, ni.astype(jnp.bfloat16), nq.astype(jnp.bfloat16)
 
     bits, wi, wq = make(jax.random.key(0))
 
-    @jax.jit
-    def run_tx(bits):
-        def body(acc, b):
-            i, q = m.tx_frame(b)
-            return acc + jnp.sum(i * i + q * q), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), bits)
-        return jnp.stack([acc, acc])
+    def tx_fn(nb):
+        @jax.jit
+        def run_tx(bits):
+            def body(acc, b):
+                i, q = m.tx_frame(b.astype(jnp.int32))
+                return acc + jnp.sum(i * i + q * q), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), bits[:nb])
+            return jnp.stack([acc, acc])
+        return run_tx
 
-    def make_rx(nv):
+    def rx_fn(nv, nb):
         @jax.jit
         def run_rx(wi, wq, bits):
             def body(acc, x):
                 i, q, b = x
-                return acc + jnp.sum(m.rx_frame(i, q, N_BLK, nv)), None
-            acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
-            return jnp.stack([acc, jnp.sum(bits)])
+                out = m.rx_frame(i.astype(jnp.float32),
+                                 q.astype(jnp.float32), N_BLK, nv)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(
+                body, jnp.int32(0), (wi[:nb], wq[:nb], bits[:nb]))
+            return jnp.stack(
+                [acc, jnp.sum(bits[:nb], dtype=jnp.int32)])
         return run_rx
 
     spb = CHANNELS * flen
     bench(f"SC-FDE {scheme_name} tx_frame (C={CHANNELS}, B={N_BLK})",
-          run_tx, (bits,), spb)
+          tx_fn(N_BLOCKS), (bits,), spb,
+          quarter_fn=tx_fn(N_BLOCKS // 4))
     bench(f"SC-FDE {scheme_name} rx_frame ZF (exact @30dB)",
-          make_rx(0.0), (wi, wq, bits), spb)
-    bench(f"SC-FDE {scheme_name} rx_frame MMSE", make_rx(1e-3),
-          (wi, wq, bits), spb)
+          rx_fn(0.0, N_BLOCKS), (wi, wq, bits), spb,
+          quarter_fn=rx_fn(0.0, N_BLOCKS // 4))
+    bench(f"SC-FDE {scheme_name} rx_frame MMSE",
+          rx_fn(1e-3, N_BLOCKS), (wi, wq, bits), spb,
+          quarter_fn=rx_fn(1e-3, N_BLOCKS // 4))
 
 
 def main():
