@@ -35,9 +35,10 @@ from modem_tpu.sync import AcquiringReceiver
 RATES = Rates(1250, 10000)
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", 64))
 N_PAYLOAD = int(os.environ.get("BENCH_PAYLOAD_SYMS", 512))
-# 64 blocks ≈ 18M waveform samples per pass — enough to amortize the
-# ~35 ms fixed dispatch/fetch floor (8 blocks measured AT the floor)
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 64))
+# 256 blocks ≈ 72M waveform samples per pass: the 64-block pass spent
+# ~40% of its time on the ~31 ms dispatch/fetch floor (round-3 stage
+# timing), so round-2's 239 MSamp/s under-reported the receiver
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 256))
 PASSES = 5
 PRE = np.array([0, 1, 3, 2, 2, 0, 1, 1, 3, 0, 2, 3, 0, 0, 1, 2,
                 3, 3, 1, 0, 2, 1, 0, 2, 1, 3, 2, 2, 0, 3, 1, 0])

@@ -31,10 +31,12 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .config import TWO_PI
 from .ops.impairments import farrow_delay
+from .ops.sync_metric import aligned_frame_matmul
 
 
 def _angle(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
@@ -359,7 +361,8 @@ class AcquiringReceiver:
     5. derotate/rescale payload decision points, slice to bits.
 
     Everything is one jittable graph with static shapes; the only
-    data-dependent value is the frame lag, consumed by gathers.
+    data-dependent value is the frame lag, consumed by one-hot matmul
+    selections (never gathers — the gather rule, BENCH.md).
     """
 
     def __init__(self, chain, preamble_symbols: np.ndarray, max_lag: int,
@@ -432,10 +435,26 @@ class AcquiringReceiver:
         ci, cq = correct_timing(i, q, t0)
         yi, yq = self.chain.matched_filter(ci, cq)
         lag = frame_sync(yi, yq, self.pre_iq, sps, self.max_lag)
-        ks = jnp.arange(n_tot, dtype=jnp.int32) * sps
-        idx = lag[..., None] + ks  # absolute decision instants
-        di = jnp.take_along_axis(yi, idx, axis=-1)
-        dq = jnp.take_along_axis(yq, idx, axis=-1)
+        # Decision instants lag + k*sps, extracted without a gather (the
+        # per-channel take_along_axis was ~22% of the whole rx pass on
+        # hardware, BENCH.md): decompose lag = a*sps + b, select the
+        # polyphase lane b with a one-hot reduction, then shift by the
+        # symbol offset a with the banded one-hot matmul. Bit-exact.
+        a_max = -(-self.max_lag // sps)  # lag // sps < a_max
+        tneed = (n_tot + a_max) * sps
+        if yi.shape[-1] < tneed:
+            zp = jnp.zeros(yi.shape[:-1] + (tneed - yi.shape[-1],),
+                           yi.dtype)
+            yi = jnp.concatenate([yi, zp], axis=-1)
+            yq = jnp.concatenate([yq, zp], axis=-1)
+        yri = yi[..., :tneed].reshape(yi.shape[:-1] + (n_tot + a_max, sps))
+        yrq = yq[..., :tneed].reshape(yq.shape[:-1] + (n_tot + a_max, sps))
+        ohb = (jnp.arange(sps, dtype=jnp.int32)
+               == (lag % sps)[..., None]).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        pi_ = jnp.einsum("...kb,...b->...k", yri, ohb, precision=hp)
+        pq_ = jnp.einsum("...kb,...b->...k", yrq, ohb, precision=hp)
+        di, dq = aligned_frame_matmul(pi_, pq_, lag // sps, n_tot, a_max)
         cfo, phase, gain = preamble_cfo_phase_gain(
             di[..., :p], dq[..., :p], self.pre_iq
         )
