@@ -312,6 +312,37 @@ def main():
     bench("Polar(256,128) SC decode", run_polar_dec,
           (pol_llrs, pol_bits), pol_info, n_blocks=pol_blocks)
 
+    # ---- CRC-aided SCL-8 (round 3): ~list_size x the SC work ----
+    crc = crc16_ccitt()
+    scl_blocks = int(os.environ.get("BENCH_POLAR_SCL_BLOCKS", 16))
+    scl_list = int(os.environ.get("BENCH_POLAR_LIST", 8))
+
+    @jax.jit
+    def make_scl(k):
+        kb, kn = jax.random.split(k)
+        data = jax.random.bernoulli(
+            kb, 0.5, (scl_blocks, pol_ch, polar.k - crc.w)
+        ).astype(jnp.int32)
+        framed = crc.append(data)
+        c = polar.encode(framed)
+        y = (1.0 - 2.0 * c
+             + 0.3 * jax.random.normal(kn, c.shape, jnp.float32))
+        return framed.astype(jnp.int8), (
+            2.0 * y / (0.3 * 0.3)).astype(jnp.bfloat16)
+
+    scl_bits, scl_llrs = make_scl(jax.random.key(4))
+
+    @jax.jit
+    def run_scl(llrs, bits):
+        def body(acc, lam):
+            out = polar.decode_list(lam, scl_list, crc=crc)
+            return acc + jnp.sum(out), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+        return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+
+    bench(f"Polar(256,128) CA-SCL-{scl_list} decode (CRC-16)", run_scl,
+          (scl_llrs, scl_bits), pol_ch * polar.k, n_blocks=scl_blocks)
+
 
 if __name__ == "__main__":
     main()

@@ -28,6 +28,7 @@ from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
 from . import presets
 from .scfde import ScFdeChain, ScFdeModem
 from .stbc import AlamoutiOfdm
+from .mimo import MimoOfdm
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
 
@@ -36,7 +37,7 @@ __all__ = [
     "Demodulator",
     "DifferentialChain", "DsssChain",
     "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
-    "Modulator", "MskChain",
+    "MimoOfdm", "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OfdmStreamReceiver", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "ScFdeChain", "ScFdeModem", "presets",

@@ -1,5 +1,5 @@
-"""Polar codes: Arikan butterfly encoder + batched successive-cancellation
-decoder.
+"""Polar codes: Arikan butterfly encoder + batched SC and CRC-aided SCL
+decoders.
 
 The third modern FEC family here next to the convolutional/RS stack
 (`fec/conv.py`, `fec/rs.py`) and QC-LDPC (`fec/ldpc.py`) — polar codes are
@@ -20,9 +20,25 @@ TPU shaping:
   to SC), but every op runs across the whole codeword batch at once. For
   throughput, batch thousands of codewords; for latency-critical control
   channels N is small (<= 1024) by design.
+* **SCL (list) decoding keeps the same traced tree with an explicit list
+  axis** ``[B, L, ...]``. The classic pointer-juggling lazy-copy path
+  memory is hostile to XLA; instead every path reorder is a **one-hot
+  permutation matmul**: a leaf's top-L survivor selection (``lax.top_k``
+  over 2L path metrics — L is tiny) yields ``[B, L, L]`` one-hot parent
+  matrices, subtrees return their accumulated permutation, and parents
+  re-map their live tensors (sibling LLRs, partial sums, decided bits)
+  by einsum. Selection of f32 values by a one-hot under
+  ``Precision.HIGHEST`` is exact, so list decoding is bit-equivalent to
+  the textbook algorithm. Frozen leaves reorder nothing (their
+  permutation is statically identity), which skips ~half the einsums.
 * **The frozen set** comes from the Bhattacharyya/BEC recursion
   ``z -> [2z - z^2, z^2]`` (Arikan's heuristic construction), computed
   host-side at build time.
+
+CRC-aided SCL (the 5G uplink/downlink control arrangement): put a CRC
+from :mod:`modem_tpu.fec.crc` over the data bits inside the polar K
+payload; ``decode_list(..., crc=...)`` picks the lowest-metric path that
+passes the CRC (falling back to the metric-best path when none do).
 
 LLR convention matches the framework (positive = bit 0,
 :mod:`modem_tpu.ops.llr`), so chain/OFDM/SC-FDE soft outputs feed straight
@@ -33,6 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from jax import lax
 import jax.numpy as jnp
 
 
@@ -141,3 +158,117 @@ class PolarCode:
         estimate ``[..., N]`` (for syndrome-style checks)."""
         u_hat, x_hat = self._sc(llrs.astype(jnp.float32), 0, self.n)
         return x_hat
+
+    # ------------------------------------------------------------------
+    # SCL: successive-cancellation list decoding (optionally CRC-aided)
+    # ------------------------------------------------------------------
+
+    _BIG = np.float32(1e30)  # metric of a not-yet-alive list path
+
+    @staticmethod
+    def _apply(perm, arr):
+        """Re-map the list axis: ``[B, L, L] one-hot x [B, L, w]``.
+
+        One-hot selection of f32 values is exact under HIGHEST precision
+        (the bf16x3 operand split is exact; exactly one term is nonzero).
+        ``perm=None`` statically means identity (frozen-leaf subtrees).
+        """
+        if perm is None:
+            return arr
+        return jnp.einsum("blp,bpw->blw", perm, arr,
+                          precision=lax.Precision.HIGHEST)
+
+    @staticmethod
+    def _compose(p2, p1):
+        if p1 is None:
+            return p2
+        if p2 is None:
+            return p1
+        return jnp.einsum("blp,bpm->blm", p2, p1,
+                          precision=lax.Precision.HIGHEST)
+
+    def _scl(self, llr, lo, hi, pm, list_size):
+        """SCL over u-positions [lo, hi).
+
+        ``llr [B, L, hi-lo]`` path-conditional LLRs, ``pm [B, L]`` path
+        metrics (smaller = better). Returns ``(u, x, pm, perm)`` with
+        ``u``/``x`` f32 {0,1} ``[B, L, hi-lo]`` in the POST-selection
+        path order and ``perm`` the accumulated ``[B, L, L]`` one-hot
+        re-mapping this subtree applied (None = identity).
+        """
+        if hi - lo == 1:
+            lam = llr[..., 0]                      # [B, L]
+            if self.frozen[lo]:
+                # forced u=0: pay |llr| where the channel says 1
+                u = jnp.zeros_like(lam)
+                return u[..., None], u[..., None], pm + jnp.maximum(
+                    -lam, 0.0), None
+            # split every path into u=0 / u=1 candidates and keep the
+            # best L of 2L by path metric (min-sum penalty: |llr| iff
+            # the decision opposes the llr sign)
+            pm2 = jnp.concatenate(
+                [pm + jnp.maximum(-lam, 0.0),      # u = 0
+                 pm + jnp.maximum(lam, 0.0)],      # u = 1
+                axis=-1)                           # [B, 2L]
+            neg_vals, idx = lax.top_k(-pm2, list_size)
+            parent = idx % list_size               # [B, L] source path
+            u = (idx >= list_size).astype(jnp.float32)
+            perm = (parent[..., None]
+                    == jnp.arange(list_size, dtype=idx.dtype)
+                    ).astype(jnp.float32)          # [B, L, L]
+            return u[..., None], u[..., None], -neg_vals, perm
+        half = (hi - lo) // 2
+        la = llr[..., :half]
+        lb = llr[..., half:]
+        u1, x1, pm, p1 = self._scl(self._f(la, lb), lo, lo + half,
+                                   pm, list_size)
+        la = self._apply(p1, la)
+        lb = self._apply(p1, lb)
+        g = lb + (1.0 - 2.0 * x1) * la
+        u2, x2, pm, p2 = self._scl(g, lo + half, hi, pm, list_size)
+        u1 = self._apply(p2, u1)
+        x1 = self._apply(p2, x1)
+        xor = x1 + x2 - 2.0 * x1 * x2
+        return (jnp.concatenate([u1, u2], axis=-1),
+                jnp.concatenate([xor, x2], axis=-1),
+                pm, self._compose(p2, p1))
+
+    def decode_list(self, llrs: jnp.ndarray, list_size: int = 8,
+                    crc=None) -> jnp.ndarray:
+        """``[..., N]`` channel LLRs -> ``[..., K]`` hard data bits by
+        successive-cancellation LIST decoding.
+
+        ``list_size`` parallel decoding paths survive per codeword
+        (L=1 reproduces :meth:`decode` exactly). ``crc``: an optional
+        :class:`modem_tpu.fec.crc.Crc` whose checksum occupies the tail
+        of the K data bits (CRC-aided SCL, the 5G arrangement): the
+        winner is the lowest-metric path whose CRC passes, falling back
+        to the lowest-metric path when none do.
+        """
+        if llrs.shape[-1] != self.n:
+            raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
+        if list_size < 1:
+            raise ValueError("list_size must be >= 1")
+        batch = llrs.shape[:-1]
+        lam = llrs.astype(jnp.float32).reshape((-1, 1, self.n))
+        b = lam.shape[0]
+        lam = jnp.broadcast_to(lam, (b, list_size, self.n))
+        # only path 0 is alive at the start; clones carry a huge metric
+        # and lose every top-k until real splits populate the list
+        pm0 = jnp.where(jnp.arange(list_size) == 0, 0.0, self._BIG)
+        pm0 = jnp.broadcast_to(pm0[None, :], (b, list_size))
+        u, _, pm, _ = self._scl(lam, 0, self.n, pm0, list_size)
+        # per-path data bits, [B, L, K] (one-hot extraction matmul)
+        data = jnp.einsum("bln,nk->blk", u,
+                          jnp.asarray(self._extract, jnp.float32),
+                          precision=lax.Precision.HIGHEST)
+        data_i = (data > 0.5).astype(jnp.int32)
+        if crc is not None:
+            ok = crc.check(data_i)                 # [B, L] bool
+            pm = pm + jnp.where(ok, 0.0, self._BIG)
+        best = jnp.argmin(pm, axis=-1)             # [B]
+        sel = (best[..., None] == jnp.arange(list_size)
+               ).astype(jnp.float32)               # [B, L]
+        out = jnp.einsum("bl,blk->bk", sel, data,
+                         precision=lax.Precision.HIGHEST)
+        return (out > 0.5).astype(jnp.int32).reshape(batch + (self.k,))
