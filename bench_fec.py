@@ -343,6 +343,39 @@ def main():
     bench(f"Polar(256,128) CA-SCL-{scl_list} decode (CRC-16)", run_scl,
           (scl_llrs, scl_bits), pol_ch * polar.k, n_blocks=scl_blocks)
 
+    # ---- Turbo (LTE-shaped, K=1024, rate 1/3): max-log BCJR scans ----
+    from modem_tpu.fec import TurboCode
+
+    turbo = TurboCode(1024)
+    tb_ch = int(os.environ.get("BENCH_TURBO_CHANNELS", 512))
+    tb_blocks = int(os.environ.get("BENCH_TURBO_BLOCKS", 8))
+    tb_iters = int(os.environ.get("BENCH_TURBO_ITERS", 6))
+
+    @jax.jit
+    def make_turbo(k):
+        kb, kn = jax.random.split(k)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (tb_blocks, tb_ch, turbo.k)).astype(jnp.int8)
+        c = turbo.encode(bits.astype(jnp.int32))
+        # sigma 0.6 ~ Eb/N0 3.6 dB at rate 1/3: error-free region
+        y = (1.0 - 2.0 * c
+             + 0.6 * jax.random.normal(kn, c.shape, jnp.float32))
+        return bits, (2.0 * y / (0.6 * 0.6)).astype(jnp.bfloat16)
+
+    tb_bits, tb_llrs = make_turbo(jax.random.key(5))
+
+    @jax.jit
+    def run_turbo(llrs, bits):
+        def body(acc, lam):
+            out = turbo.decode(lam, iters=tb_iters)
+            return acc + jnp.sum(out), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+        return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+
+    bench(f"Turbo(K=1024, r=1/3) max-log decode, {tb_iters} iters",
+          run_turbo, (tb_llrs, tb_bits), tb_ch * turbo.k,
+          n_blocks=tb_blocks)
+
 
 if __name__ == "__main__":
     main()

@@ -15,11 +15,12 @@ from .polar import PolarCode
 from .puncture import Puncturer, rate23_pattern, rate34_pattern
 from .rs import ReedSolomon, rs_255_223, rs_dvb
 from .scramble import Scrambler, dvb_scrambler, ieee80211_scrambler
+from .turbo import TurboCode
 
 __all__ = [
     "ConvCode", "Crc", "PolarCode", "Puncturer", "QcLdpc", "ReedSolomon",
     "Scrambler",
-    "StreamingViterbi", "block_deinterleave",
+    "StreamingViterbi", "TurboCode", "block_deinterleave",
     "block_interleave", "ccsds_code", "crc16_ccitt", "crc32_mpeg2",
     "dvb_scrambler", "ieee80211_scrambler", "rate23_pattern",
     "rate34_pattern", "rs_255_223", "rs_dvb",
