@@ -140,30 +140,13 @@ class TurboCode:
                 nxt[s, u] = (a << 2) | (s1 << 1) | s2
         return nxt, par
 
-    def _bcjr(self, lsys, lpar, la, t_sys, t_par):
-        """One max-log BCJR pass.
-
-        ``lsys, lpar, la [..., T]`` info-section LLRs (positive = bit 0);
-        ``t_sys, t_par [..., 3]`` this constituent's tail LLRs. Returns
-        the EXTRINSIC LLRs ``[..., T]``.
-        """
-        nxt, par = self._tables()
-        t = lsys.shape[-1]
-        # branch metric gamma[s, u] = 0.5*((1-2u)(lsys+la) + (1-2p)lpar);
-        # the tail steps carry la = 0
-        lu = jnp.concatenate([lsys + la, t_sys], axis=-1)
-        lp = jnp.concatenate([lpar, t_par], axis=-1)
-        lu_t = jnp.moveaxis(lu, -1, 0)[..., None]   # [T+3, ..., 1]
-        lp_t = jnp.moveaxis(lp, -1, 0)[..., None]
-        usig = jnp.asarray([0.5, -0.5], jnp.float32)     # 0.5*(1-2u)
-        psig = jnp.asarray(0.5 * (1.0 - 2.0 * par), jnp.float32)  # [8, 2]
-        # gammas[t] [..., 8, 2]
-        gam = lu_t[..., None, :] * usig + lp_t[..., None, :] * psig
-
-        neg = jnp.float32(_NEG)
+    def _scans(self, gam, a0, bT, t_keep):
+        """Shared alpha/beta/app machinery over stacked gammas
+        ``gam [T', ..., 8, 2]`` with inits ``a0/bT [..., 8]``; returns
+        app LLRs for the first ``t_keep`` steps, ``[t_keep, ...]``."""
+        nxt, _ = self._tables()
 
         def fwd(alpha, g):
-            # alpha [..., 8]; cand[s, u] = alpha[s] + g[s, u]
             cand = alpha[..., None] + g
             outs = []
             for sp in range(8):
@@ -175,11 +158,9 @@ class TurboCode:
             new = new - jnp.max(new, axis=-1, keepdims=True)
             return new, alpha
 
-        a0 = jnp.full(gam.shape[1:-2] + (8,), neg).at[..., 0].set(0.0)
         _, alphas = lax.scan(fwd, a0, gam)          # alphas[t] = pre-step
 
         def bwd(beta, g):
-            # beta [..., 8] at t+1; new[s] = max_u g[s, u] + beta[nxt]
             outs = []
             for s in range(8):
                 b0 = g[..., s, 0] + beta[..., nxt[s, 0]]
@@ -189,10 +170,8 @@ class TurboCode:
             new = new - jnp.max(new, axis=-1, keepdims=True)
             return new, beta
 
-        bT = jnp.full(gam.shape[1:-2] + (8,), neg).at[..., 0].set(0.0)
         _, betas = lax.scan(bwd, bT, gam, reverse=True)  # betas[t] = post
 
-        # app[t] (info section only): max over u=0 branches minus u=1
         def app(carry, x):
             g, alpha, beta = x
             m = alpha[..., None] + g  # [..., 8, 2]
@@ -203,9 +182,81 @@ class TurboCode:
             m1 = jnp.max(m[..., 1], axis=-1)
             return carry, m0 - m1
 
-        _, llr_app = lax.scan(app, 0, (gam[:t], alphas[:t], betas[:t]))
+        _, llr_app = lax.scan(
+            app, 0, (gam[:t_keep], alphas[:t_keep], betas[:t_keep]))
+        return llr_app                               # [t_keep, ...]
+
+    def _gammas(self, lsys, lpar, la, t_sys, t_par):
+        """Branch metrics ``gamma[t][..., s, u] = 0.5*((1-2u)(lsys+la)
+        + (1-2p)lpar)``; the tail steps carry ``la = 0``."""
+        _, par = self._tables()
+        lu = jnp.concatenate([lsys + la, t_sys], axis=-1)
+        lp = jnp.concatenate([lpar, t_par], axis=-1)
+        lu_t = jnp.moveaxis(lu, -1, 0)[..., None]   # [T+3, ..., 1]
+        lp_t = jnp.moveaxis(lp, -1, 0)[..., None]
+        usig = jnp.asarray([0.5, -0.5], jnp.float32)     # 0.5*(1-2u)
+        psig = jnp.asarray(0.5 * (1.0 - 2.0 * par), jnp.float32)  # [8, 2]
+        return lu_t[..., None, :] * usig + lp_t[..., None, :] * psig
+
+    def _bcjr(self, lsys, lpar, la, t_sys, t_par):
+        """One full-block max-log BCJR pass.
+
+        ``lsys, lpar, la [..., T]`` info-section LLRs (positive = bit 0);
+        ``t_sys, t_par [..., 3]`` this constituent's tail LLRs. Returns
+        the EXTRINSIC LLRs ``[..., T]``.
+        """
+        t = lsys.shape[-1]
+        gam = self._gammas(lsys, lpar, la, t_sys, t_par)
+        neg = jnp.float32(_NEG)
+        a0 = jnp.full(gam.shape[1:-2] + (8,), neg).at[..., 0].set(0.0)
+        bT = jnp.full(gam.shape[1:-2] + (8,), neg).at[..., 0].set(0.0)
+        llr_app = self._scans(gam, a0, bT, t)
         llr_app = jnp.moveaxis(llr_app, 0, -1)       # [..., T]
         return llr_app - (lsys + la)
+
+    def _bcjr_windowed(self, lsys, lpar, la, t_sys, t_par,
+                       window: int, guard: int):
+        """Sliding-window max-log BCJR: the throughput form.
+
+        The trellis is cut into ``window``-step cores processed as BATCH
+        elements of one short scan (sequential depth ``window + 2*guard``
+        instead of T+3 — the `fec/conv.decode_soft_windowed` trick).
+        Each window carries ``guard`` warm-up steps on both sides whose
+        alpha/beta start NEUTRAL (all-zero metrics) and converge onto the
+        survivor mass within a few constraint lengths — except at the
+        true trellis ends, where special pin-gammas (only the state-0
+        self-loop survives) propagate the exact initial/terminal
+        conditions through the padding, so the boundary conditions are
+        not approximated. Standard hardware-decoder practice; the
+        approximation error for ``guard >~ 5 constraint lengths`` is far
+        below max-log's own loss (BER-verified in tests/test_turbo.py).
+        """
+        t = lsys.shape[-1]
+        tp = t + 3
+        gam = self._gammas(lsys, lpar, la, t_sys, t_par)  # [T+3, ..., 8, 2]
+        n_win = -(-tp // window)
+        pad_tail = n_win * window - tp
+        # pin-gamma: only (state 0, u=0) survives — walks the padding and
+        # the +/- guard extensions while carrying the exact end conditions
+        pin = np.full((8, 2), _NEG, np.float32)
+        pin[0, 0] = 0.0
+        pin = jnp.broadcast_to(jnp.asarray(pin), (1,) + gam.shape[1:])
+        parts = [jnp.broadcast_to(pin, (guard,) + gam.shape[1:]), gam]
+        if pad_tail:
+            parts.append(jnp.broadcast_to(pin,
+                                          (pad_tail,) + gam.shape[1:]))
+        parts.append(jnp.broadcast_to(pin, (guard,) + gam.shape[1:]))
+        ge = jnp.concatenate(parts, axis=0)  # [n_win*window + 2g, ...]
+        wins = jnp.stack(
+            [lax.slice_in_dim(ge, w * window, w * window + window
+                              + 2 * guard, axis=0)
+             for w in range(n_win)], axis=1)  # [window+2g, n_win, ...]
+        zero = jnp.zeros(wins.shape[1:-2] + (8,), jnp.float32)
+        llr_app = self._scans(wins, zero, zero, guard + window)
+        core = llr_app[guard:]                        # [window, n_win, ...]
+        flat = jnp.moveaxis(core, (0, 1), (-1, -2))   # [..., n_win, window]
+        flat = flat.reshape(flat.shape[:-2] + (n_win * window,))[..., :t]
+        return flat - (lsys + la)
 
     # ------------------------------------------------------------------
 
@@ -218,13 +269,24 @@ class TurboCode:
         return jnp.einsum("...k,jk->...j", x, jnp.asarray(self._pt),
                           precision=lax.Precision.HIGHEST)
 
-    def decode(self, llrs: jnp.ndarray, iters: int | None = None
-               ) -> jnp.ndarray:
+    def decode(self, llrs: jnp.ndarray, iters: int | None = None,
+               window: int | None = None, guard: int = 32) -> jnp.ndarray:
         """``[..., 3K+12]`` channel LLRs -> ``[..., K]`` hard info bits
-        after ``iters`` max-log turbo iterations."""
+        after ``iters`` max-log turbo iterations.
+
+        ``window``: if set, each BCJR half-iteration runs the
+        sliding-window form (:meth:`_bcjr_windowed`) — sequential depth
+        ``window + 2*guard`` instead of K+3, with the windows processed
+        as batch elements (the throughput form; BER equivalence at the
+        operating point is tested)."""
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         it = self.iters if iters is None else int(iters)
+        if window is not None:
+            bcjr = lambda *a: self._bcjr_windowed(  # noqa: E731
+                *a, window=int(window), guard=int(guard))
+        else:
+            bcjr = self._bcjr
         k = self.k
         x = llrs.astype(jnp.float32)
         ls = x[..., :k]
@@ -238,9 +300,9 @@ class TurboCode:
         la1 = jnp.zeros_like(ls)
         le1 = jnp.zeros_like(ls)
         for _ in range(it):
-            le1 = self._bcjr(ls, lp1, la1, t1s, t1p)
+            le1 = bcjr(ls, lp1, la1, t1s, t1p)
             la2 = self._il(le1)
-            le2 = self._bcjr(ls2, lp2, la2, t2s, t2p)
+            le2 = bcjr(ls2, lp2, la2, t2s, t2p)
             la1 = self._dil(le2)
         app = ls + la1 + le1
         return (app < 0).astype(jnp.int32)

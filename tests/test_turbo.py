@@ -111,6 +111,36 @@ class TestDecode:
         assert e1 > 0, "operating point too easy"
         assert e6 < e1, (e6, e1)
 
+    def test_windowed_matches_full_waterfall(self):
+        """Sliding-window BCJR (window=128, guard=32) decodes the same
+        2 dB batch clean, and its decisions agree with the full-block
+        form on every bit at this operating point."""
+        code = TurboCode(512)
+        rng = np.random.default_rng(7)
+        bits = jnp.asarray(rng.integers(0, 2, (16, code.k)), jnp.int32)
+        cw = code.encode(bits)
+        x = 1.0 - 2.0 * cw.astype(jnp.float32)
+        rate = code.k / code.n
+        sigma2 = 1.0 / (2.0 * rate * 10.0 ** 0.2)
+        noise = jnp.asarray(np.random.default_rng(77).normal(
+            0.0, np.sqrt(sigma2), x.shape), jnp.float32)
+        llr = 2.0 * (x + noise) / sigma2
+        full = code.decode(llr)
+        win = code.decode(llr, window=128, guard=32)
+        np.testing.assert_array_equal(np.asarray(win), np.asarray(full))
+        np.testing.assert_array_equal(np.asarray(win), np.asarray(bits))
+
+    def test_windowed_boundary_conditions_exact(self):
+        """The pin-gamma padding carries the exact initial/terminal
+        trellis conditions through the window edges: noiseless decode is
+        exact even with a window that does not divide K+3."""
+        code = TurboCode(256, iters=2)
+        rng = np.random.default_rng(8)
+        bits = jnp.asarray(rng.integers(0, 2, (4, code.k)), jnp.int32)
+        llr = 5.0 * (1.0 - 2.0 * code.encode(bits).astype(jnp.float32))
+        out = code.decode(llr, window=96, guard=24)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
     def test_jit_batched(self):
         code = TurboCode(64, iters=2)
         rng = np.random.default_rng(5)
