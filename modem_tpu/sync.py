@@ -33,6 +33,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .config import TWO_PI
 from .ops.impairments import farrow_delay
@@ -84,6 +85,137 @@ def correct_timing(i: jnp.ndarray, q: jnp.ndarray, t0) -> tuple[
 # ---------------------------------------------------------------------------
 # Blind carrier recovery for M-PSK (modulation stripping)
 # ---------------------------------------------------------------------------
+
+def varying_delay(i: jnp.ndarray, q: jnp.ndarray, delay: jnp.ndarray,
+                  max_int: int):
+    """Apply a per-sample TIME-VARYING delay: ``y(n) = x(n - delay[n])``
+    with ``delay`` in ``[0, max_int + 1)`` samples.
+
+    The TPU-native resampler for slowly-drifting timing (sampling-clock
+    offset): the fractional part drives per-sample cubic-Lagrange
+    (Farrow) weights — pure elementwise algebra — and the integer part
+    selects among ``max_int + 1`` statically-shifted copies with a
+    one-hot sum (the gather rule: no ``take_along_axis``). Cost is
+    ``4 * (max_int + 1)`` multiply-adds per sample, all fused
+    elementwise work. The first few output samples read the zero
+    history (edge transient), like :func:`~modem_tpu.ops.impairments
+    .farrow_delay`.
+    """
+    k = jnp.clip(jnp.floor(delay).astype(jnp.int32), 0, max_int)
+    f = jnp.clip(delay - k, 0.0, 1.0)
+    # same Lagrange basis as farrow_delay: nodes {-1, 0, 1, 2} relative
+    # to x[n0-2], evaluated at fv = 1 - f -> y[n0] ~ x(n0 - 1 - f) with
+    # base n0 = n - k + 1, i.e. taps over x[n - k - 2 .. n - k + 1]
+    fv = 1.0 - f
+    w = (-fv * (fv - 1.0) * (fv - 2.0) / 6.0,
+         (fv * fv - 1.0) * (fv - 2.0) / 2.0,
+         -fv * (fv + 1.0) * (fv - 2.0) / 2.0,
+         fv * (fv * fv - 1.0) / 6.0)
+    n = i.shape[-1]
+    pl = max_int + 2
+    zl = jnp.zeros(i.shape[:-1] + (pl,), i.dtype)
+    zr = jnp.zeros(i.shape[:-1] + (1,), i.dtype)
+    ip = jnp.concatenate([zl, i, zr], axis=-1)
+    qp = jnp.concatenate([zl, q, zr], axis=-1)
+    yi = jnp.zeros_like(i)
+    yq = jnp.zeros_like(q)
+    for j in range(max_int + 1):
+        oh = (k == j).astype(jnp.float32)
+        # tap t reads x[n - j - 2 + t] = xp[n + pl - j - 2 + t]
+        si = sum(w[t] * lax.dynamic_slice_in_dim(
+            ip, pl - j - 2 + t, n, axis=-1) for t in range(4))
+        sq = sum(w[t] * lax.dynamic_slice_in_dim(
+            qp, pl - j - 2 + t, n, axis=-1) for t in range(4))
+        yi = yi + oh * si
+        yq = yq + oh * sq
+    return yi, yq
+
+
+def sfo_track(i: jnp.ndarray, q: jnp.ndarray, sps: int, block_len: int,
+              max_delay: int | None = None, fit: str = "linear"):
+    """Feedforward timing-drift tracking for long single-carrier streams.
+
+    A one-shot :func:`oerder_meyr_timing` estimate goes stale under
+    sampling-clock offset (SFO): at 100 ppm the decision grid walks a
+    full sample every 10k samples and a fixed grid starts slicing
+    between pulses. This tracker is the TPU-shaped cure — feedforward
+    and fully parallel over blocks, no feedback loop:
+
+    1. the stream splits into ``block_len``-sample blocks (``block_len``
+       a multiple of ``sps`` so every block shares the symbol-tone phase
+       reference) and O&M runs on every block at once;
+    2. the per-block timing phases unwrap across blocks (drift per block
+       << sps/2 — at 100 ppm and block_len 4096 the drift is 0.4
+       samples/block);
+    3. ``fit="linear"`` least-squares a line through the unwrapped
+       timings (the slope IS the SFO estimate, reported in the sync
+       report); ``fit="piecewise"`` interpolates them per block for
+       non-linear drift;
+    4. :func:`varying_delay` resamples the whole stream by the fitted
+       per-sample delay — after which pulse peaks sit at ``n = 0 (mod
+       sps)`` for the entire stream and any downstream burst receiver
+       (:class:`AcquiringReceiver`, :func:`frame_sync`) works unchanged.
+
+    Returns ``(ci, cq, report)`` with ``report = {"t0_blocks",
+    "delay0", "sfo_ppm"}``. The trailing partial block (if any) is
+    corrected by extrapolation. ``max_delay`` bounds the applied integer
+    delay (default: ``2 * sps`` plus the fitted drift range is assumed
+    to fit; raise it for very long streams).
+    """
+    if block_len % sps:
+        raise ValueError("block_len must be a multiple of sps")
+    n = i.shape[-1]
+    nb = n // block_len
+    if nb < 2:
+        raise ValueError("need >= 2 blocks to track drift")
+    head = nb * block_len
+    bi = i[..., :head].reshape(i.shape[:-1] + (nb, block_len))
+    bq = q[..., :head].reshape(q.shape[:-1] + (nb, block_len))
+    t0 = oerder_meyr_timing(bi, bq, sps)          # [..., nb] in [0, sps)
+    # unwrap mod sps across blocks
+    d = t0[..., 1:] - t0[..., :-1]
+    d = (d + sps / 2.0) % sps - sps / 2.0
+    un = jnp.concatenate(
+        [t0[..., :1], t0[..., :1] + jnp.cumsum(d, axis=-1)], axis=-1)
+    centers = (np.arange(nb, dtype=np.float32) + 0.5) * block_len
+    if fit == "linear":
+        cm = float(centers.mean())
+        cc = jnp.asarray(centers - cm)
+        denom = float(np.sum((centers - cm) ** 2))
+        slope = jnp.sum(un * cc, axis=-1, keepdims=True) / denom
+        mean = jnp.mean(un, axis=-1, keepdims=True)
+        ns = jnp.arange(n, dtype=jnp.float32)
+        delay = mean + slope * (ns - cm)
+    elif fit == "piecewise":
+        # linear interpolation between block centers, extrapolated ends
+        ns = jnp.arange(n, dtype=jnp.float32)
+        x = (ns - centers[0]) / block_len            # center units
+        j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nb - 2)
+        frac = x - j.astype(jnp.float32)
+        ohj = (j[..., :, None]
+               == jnp.arange(nb - 1, dtype=jnp.int32)).astype(jnp.float32)
+        lo = jnp.einsum("...b,nb->...n", un[..., :-1], ohj,
+                        precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.einsum("...b,nb->...n", un[..., 1:], ohj,
+                        precision=jax.lax.Precision.HIGHEST)
+        delay = lo + frac * (hi - lo)
+        slope = (un[..., -1:] - un[..., :1]) / ((nb - 1) * block_len)
+    else:
+        raise ValueError(f"unknown fit {fit!r}")
+    # A pulse measured at phase fit(n) must be pushed BACK onto the
+    # grid: apply delay C - fit(n) with C a per-channel multiple of sps
+    # covering max(fit) (delaying by +fit would DOUBLE the drift). The
+    # applied delay then decreases along the stream at exactly the SFO
+    # rate, cancelling it; the constant C (0 mod sps) is absorbed by the
+    # downstream integer frame search.
+    c = sps * jnp.ceil(jnp.max(delay, axis=-1, keepdims=True) / sps)
+    mi = int(2 * sps) if max_delay is None else int(max_delay)
+    delay = jnp.clip(c - delay, 0.0, mi + 0.999)
+    ci, cq = varying_delay(i, q, delay, mi)
+    report = {"t0_blocks": un, "delay0": delay[..., 0],
+              "sfo_ppm": slope[..., 0] * 1e6}
+    return ci, cq, report
+
 
 def _mth_power(di: jnp.ndarray, dq: jnp.ndarray, m: int):
     """z = (di + j*dq)^m via polar real-plane math (no complex dtype)."""
