@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from .fec import (
     ConvCode, Crc, PolarCode, Puncturer, QcLdpc, ReedSolomon, Scrambler,
+    TurboCode,
     block_deinterleave, block_interleave, ccsds_code, crc16_ccitt,
     dvb_scrambler,
 )
@@ -45,7 +46,9 @@ class FramedLink:
     (:class:`modem_tpu.fec.QcLdpc`): the framed block must then be a whole
     number of LDPC data blocks (``coded_in % ldpc.k == 0``), and
     puncturing does not apply. ``polar`` likewise selects a polar inner
-    code (:class:`modem_tpu.fec.PolarCode`, ``coded_in % polar.k == 0``).
+    code (:class:`modem_tpu.fec.PolarCode`, ``coded_in % polar.k == 0``),
+    and ``turbo`` an LTE-shaped turbo inner code
+    (:class:`modem_tpu.fec.TurboCode`, ``coded_in % turbo.k == 0``).
     """
 
     def __init__(self, chain, payload_bits: int | None = None,
@@ -57,17 +60,25 @@ class FramedLink:
                  crc: Crc | None = None,
                  ldpc: QcLdpc | None = None,
                  ldpc_iters: int = 30,
-                 polar: PolarCode | None = None):
-        n_inner = sum(x is not None for x in (conv, ldpc, polar))
+                 polar: PolarCode | None = None,
+                 turbo: TurboCode | None = None,
+                 turbo_iters: int | None = None):
+        n_inner = sum(x is not None for x in (conv, ldpc, polar, turbo))
         if n_inner > 1:
-            raise ValueError("choose one inner code: conv, ldpc, or polar")
-        if puncturer is not None and (ldpc is not None or polar is not None):
+            raise ValueError(
+                "choose one inner code: conv, ldpc, polar, or turbo")
+        if puncturer is not None and (ldpc is not None
+                                      or polar is not None
+                                      or turbo is not None):
             raise ValueError("puncturing applies to the conv inner code")
         self.chain = chain
         self.ldpc = ldpc
         self.ldpc_iters = int(ldpc_iters)
         self.polar = polar
-        self.conv = (None if (ldpc is not None or polar is not None)
+        self.turbo = turbo
+        self.turbo_iters = turbo_iters
+        self.conv = (None if (ldpc is not None or polar is not None
+                              or turbo is not None)
                      else (ccsds_code() if conv is None else conv))
         self.rs = rs
         self.puncturer = puncturer
@@ -102,6 +113,13 @@ class FramedLink:
                     f"polar data size {polar.k}; adjust payload_bits")
             self._steps = coded_in // polar.k  # polar codewords per frame
             wire = self._steps * polar.n
+        elif turbo is not None:
+            if coded_in % turbo.k:
+                raise ValueError(
+                    f"framed block of {coded_in} bits must divide by the "
+                    f"turbo data size {turbo.k}; adjust payload_bits")
+            self._steps = coded_in // turbo.k  # turbo codewords per frame
+            wire = self._steps * turbo.n
         else:
             steps = coded_in + (self.conv.k - 1)
             if puncturer is not None and steps % puncturer.period:
@@ -146,6 +164,11 @@ class FramedLink:
             x = x.reshape(x.shape[:-1] + (m, self.polar.k))
             x = self.polar.encode(x)
             x = x.reshape(x.shape[:-2] + (m * self.polar.n,))
+        elif self.turbo is not None:
+            m = self._steps
+            x = x.reshape(x.shape[:-1] + (m, self.turbo.k))
+            x = self.turbo.encode(x)
+            x = x.reshape(x.shape[:-2] + (m * self.turbo.n,))
         else:
             x = self.conv.encode(x)
             if self.puncturer is not None:
@@ -176,6 +199,12 @@ class FramedLink:
             x = x.reshape(x.shape[:-1] + (m, self.polar.n))
             x = self.polar.decode(x)
             x = x.reshape(x.shape[:-2] + (m * self.polar.k,))
+        elif self.turbo is not None:
+            m = self._steps
+            x = x.reshape(x.shape[:-1] + (m, self.turbo.n))
+            x = (self.turbo.decode(x) if self.turbo_iters is None
+                 else self.turbo.decode(x, iters=self.turbo_iters))
+            x = x.reshape(x.shape[:-2] + (m * self.turbo.k,))
         else:
             if self.puncturer is not None:
                 x = self.puncturer.depuncture(x, self._steps)

@@ -21,7 +21,8 @@ from __future__ import annotations
 from .config import Rates
 from .chain import PulseShapedChain, qpsk_reference_chain
 from .fec import (
-    Puncturer, QcLdpc, ccsds_code, rate34_pattern, rs_255_223, rs_dvb)
+    Puncturer, QcLdpc, TurboCode, ccsds_code, rate34_pattern, rs_255_223,
+    rs_dvb)
 from .gmsk import GmskChain
 from .link import FramedLink
 from .models import make_scheme
@@ -80,6 +81,38 @@ def ccsds_deep_space_link() -> FramedLink:
         conv=ccsds_code(),
         interleave_rows=12,  # wire = (255*8 + 6 flush) * 2 = 4092 bits
     )
+
+
+def lte_like_turbo_link(turbo_iters: int = 6) -> FramedLink:
+    """LTE-shaped data link over the QPSK chain: K=1024 turbo inner code
+    (RSC pair + QPP interleaver, max-log BCJR), CRC-16 verdicts, block
+    interleaver. Payload 1008 bits per frame; wire = 3084 coded bits =
+    1542 QPSK symbols. Error-free from about -6 dB SNR per complex
+    sample (rate ~1/3 + matched-filter gain)."""
+    code = TurboCode(1024)
+    return FramedLink(qpsk_reference_chain(REFERENCE_RATES),
+                      payload_bits=code.k - 16, turbo=code,
+                      turbo_iters=turbo_iters,
+                      interleave_rows=12)  # 3084 = 12 * 257
+
+
+def mimo_ofdm_link(ldpc_iters: int = 30) -> FramedLink:
+    """2x2 spatially-multiplexed OFDM link: 26 QC-LDPC(648,324)
+    codewords fill 81 MIMO slots exactly (one slot carries 2 streams x
+    52 bins x 2 bits = 208 coded bits) — the rate-doubled counterpart of
+    :func:`wifi_like_ofdm_link`. TX returns two antenna waveforms; RX
+    takes ``(i1, q1, i2, q2)`` frame-aligned captures. Error-free from
+    about 12 dB per-antenna SNR through a heavily cross-coupled 2x2
+    channel (stream separation genuinely spends SNR; the SISO wifi link
+    runs at 8 dB)."""
+    from .mimo import MimoOfdm
+
+    code = QcLdpc()
+    mm = MimoOfdm(make_scheme("qpsk", REFERENCE_RATES))
+    return FramedLink(mm.as_link_chain(),
+                      payload_bits=26 * code.k - 16,
+                      ldpc=code, ldpc_iters=ldpc_iters,
+                      interleave_rows=16)
 
 
 def gsm_like_gmsk(rates: Rates | None = None) -> GmskChain:

@@ -45,6 +45,41 @@ def test_ccsds_deep_space_link():
     assert errs == 0 and ok.all()
 
 
+def test_lte_like_turbo_link():
+    link = presets.lte_like_turbo_link()
+    assert link.payload_bits == 1008 and link.n_symbols == 1542
+    errs, ok = _run_link(link, snr_db=-6.0, seed=6)
+    assert errs == 0 and ok.all()
+
+
+def test_mimo_ofdm_link():
+    """Rate-doubled MIMO counterpart of the wifi link: same airtime per
+    slot, 26 LDPC codewords through a cross-coupled flat 2x2 channel."""
+    from modem_tpu.ops.impairments import apply_gain_phase
+
+    link = presets.mimo_ofdm_link()
+    assert link.n_symbols == 81
+    rng = np.random.default_rng(7)
+    payload = jnp.asarray(
+        rng.integers(0, 2, (2, link.payload_bits)), jnp.int32)
+    (ia, qa), (ib, qb) = link.tx(payload)
+    outs = []
+    for r, (ga, pa, gb, pb) in enumerate(
+            [(1.0, 0.3, 0.6, -1.2), (0.5, 2.0, 0.9, 0.8)]):
+        xi, xq = apply_gain_phase(ia, qa, gain=ga, phase=pa)
+        yi, yq = apply_gain_phase(ib, qb, gain=gb, phase=pb)
+        ci, cq = xi + yi, xq + yq
+        p = float(jnp.mean(ci * ci + cq * cq))
+        ci, cq = awgn(jax.random.fold_in(jax.random.key(8), r),
+                      ci, cq, 12.0, signal_power=p)
+        outs += [ci, cq]
+    p = float(jnp.mean(outs[0] ** 2 + outs[1] ** 2))
+    nv = p / 10.0 ** 1.2
+    out, ok = link.rx(tuple(outs), noise_var=nv)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
 def test_gsm_like_gmsk():
     chain = presets.gsm_like_gmsk()
     rng = np.random.default_rng(3)
