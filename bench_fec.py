@@ -343,6 +343,48 @@ def main():
     bench(f"Polar(256,128) CA-SCL-{scl_list} decode (CRC-16)", run_scl,
           (scl_llrs, scl_bits), pol_ch * polar.k, n_blocks=scl_blocks)
 
+    # ---- BCH(255,191) t=8: GF(2)-matmul encode/syndromes + BM scan ----
+    from modem_tpu.fec import bch_255_191
+
+    bch = bch_255_191()
+    bch_cw = int(os.environ.get("BENCH_BCH_CODEWORDS", 2048))
+    bch_blocks = int(os.environ.get("BENCH_BCH_BLOCKS", 64))
+
+    @jax.jit
+    def make_bch(k):
+        kb, kp = jax.random.split(k)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (bch_blocks, bch_cw, bch.k)).astype(jnp.int8)
+        cw = bch.encode(bits.astype(jnp.int32))
+        # flip t/2 = 4 random bit positions per codeword
+        scores = jax.random.uniform(kp, cw.shape)
+        thresh = jnp.sort(scores, axis=-1)[..., 3:4]
+        return bits, cw ^ (scores <= thresh).astype(jnp.int32)
+
+    bch_bits, bch_recv = make_bch(jax.random.key(6))
+
+    @jax.jit
+    def run_bch_enc(bits):
+        def body(acc, b):
+            return acc + jnp.sum(bch.encode(b.astype(jnp.int32))), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), bits)
+        return jnp.stack([acc, acc])
+
+    @jax.jit
+    def run_bch_dec(recv, bits):
+        def body(acc, r):
+            msg, ok = bch.decode(r)
+            return acc + jnp.sum(msg * ok[..., None]), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), recv)
+        return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+
+    bch_info = bch_cw * bch.k
+    bench("BCH(255,191) encode", run_bch_enc, (bch_bits,), bch_info,
+          n_blocks=bch_blocks)
+    bench(f"BCH(255,191) decode (4 errs/cw, {bch_cw} cw/blk)",
+          run_bch_dec, (bch_recv, bch_bits), bch_info,
+          n_blocks=bch_blocks)
+
     # ---- Turbo (LTE-shaped, K=1024, rate 1/3): max-log BCJR scans ----
     from modem_tpu.fec import TurboCode
 

@@ -7,6 +7,7 @@ jit/vmap/shard-friendly block transforms (see :mod:`modem_tpu.fec.conv` for
 the TPU shaping of the trellis recursions).
 """
 
+from .bch import Bch, bch_255_191, bch_255_239
 from .conv import ConvCode, StreamingViterbi, ccsds_code
 from .crc import Crc, crc16_ccitt, crc32_mpeg2
 from .interleave import block_deinterleave, block_interleave
@@ -18,9 +19,10 @@ from .scramble import Scrambler, dvb_scrambler, ieee80211_scrambler
 from .turbo import TurboCode
 
 __all__ = [
-    "ConvCode", "Crc", "PolarCode", "Puncturer", "QcLdpc", "ReedSolomon",
+    "Bch", "ConvCode", "Crc", "PolarCode", "Puncturer", "QcLdpc", "ReedSolomon",
     "Scrambler",
     "StreamingViterbi", "TurboCode", "block_deinterleave",
+    "bch_255_191", "bch_255_239",
     "block_interleave", "ccsds_code", "crc16_ccitt", "crc32_mpeg2",
     "dvb_scrambler", "ieee80211_scrambler", "rate23_pattern",
     "rate34_pattern", "rs_255_223", "rs_dvb",
