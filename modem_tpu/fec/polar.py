@@ -222,12 +222,17 @@ class PolarCode:
         lb = llr[..., half:]
         u1, x1, pm, p1 = self._scl(self._f(la, lb), lo, lo + half,
                                    pm, list_size)
-        la = self._apply(p1, la)
-        lb = self._apply(p1, lb)
+        # tensors taking the same reorder are stacked so each path
+        # permutation is ONE einsum instead of two (halves the matmul
+        # count down the tree)
+        if p1 is not None:
+            ab = self._apply(p1, jnp.concatenate([la, lb], axis=-1))
+            la, lb = ab[..., :half], ab[..., half:]
         g = lb + (1.0 - 2.0 * x1) * la
         u2, x2, pm, p2 = self._scl(g, lo + half, hi, pm, list_size)
-        u1 = self._apply(p2, u1)
-        x1 = self._apply(p2, x1)
+        if p2 is not None:
+            ux = self._apply(p2, jnp.concatenate([u1, x1], axis=-1))
+            u1, x1 = ux[..., :half], ux[..., half:]
         xor = x1 + x2 - 2.0 * x1 * x2
         return (jnp.concatenate([u1, u2], axis=-1),
                 jnp.concatenate([xor, x2], axis=-1),
