@@ -9,6 +9,12 @@ over blocks, on-device checksum fetched in the timing window, ≥5 passes).
 Metric: complex waveform samples/s acquired+demodulated (the unit the
 1e9 BASELINE target uses), plus bursts/s for context. The checksum gate
 is exact payload recovery on every burst (30 dB, full impairment stack).
+
+``BENCH_STAGES=1`` additionally prints cumulative-prefix stage timings
+(O&M timing -> Farrow -> matched filter -> frame sync -> frame extract
+-> CFO/phase/gain): the marginal cost of stage k is row[k] - row[k-1].
+This is the probe that located the 82%% take_along_axis frame-extract
+bottleneck that ``ops/sync_metric.aligned_frame_matmul`` removed.
 """
 
 from __future__ import annotations
@@ -93,6 +99,71 @@ def main():
     print(f"burst acquisition: {samples / best / 1e6:8.1f} MSamp/s  "
           f"({bursts / best:7.0f} bursts/s, {CHANNELS}-ch bank, "
           f"{N_PAYLOAD}-sym payloads, spread {spread * 100:.0f}%)")
+
+    if os.environ.get("BENCH_STAGES"):
+        _stage_timings(chain, rxr, wi, wq, samples)
+
+
+def _stage_timings(chain, rxr, wi, wq, samples):
+    """Cumulative receiver-prefix timings (see module docstring)."""
+    from modem_tpu.sync import (correct_timing, frame_sync,
+                                oerder_meyr_timing, preamble_cfo_phase_gain)
+    sps = chain.sps
+    p = rxr.pre_iq.shape[0]
+    n_tot = p + N_PAYLOAD
+    need = rxr.max_lag + (n_tot - 1) * sps + 1
+
+    def prefix(which):
+        def f(i, q):
+            if i.shape[-1] < need:
+                pad = jnp.zeros(i.shape[:-1] + (need - i.shape[-1],),
+                                i.dtype)
+                i = jnp.concatenate([i, pad], axis=-1)
+                q = jnp.concatenate([q, pad], axis=-1)
+            t0 = oerder_meyr_timing(i, q, sps)
+            if which == "om":
+                return jnp.sum(t0)
+            ci, cq = correct_timing(i, q, t0)
+            if which == "farrow":
+                return jnp.sum(ci[..., ::33])
+            yi, yq = chain.matched_filter(ci, cq)
+            if which == "mf":
+                return jnp.sum(yi[..., ::33])
+            lag = frame_sync(yi, yq, rxr.pre_iq, sps, rxr.max_lag)
+            if which == "framesync":
+                return jnp.sum(lag)
+            ks = jnp.arange(n_tot, dtype=jnp.int32) * sps
+            idx = lag[..., None] + ks
+            di = jnp.take_along_axis(yi, idx, axis=-1)
+            dq = jnp.take_along_axis(yq, idx, axis=-1)
+            if which == "gather":
+                return jnp.sum(di[..., ::7])
+            cfo, phase, gain = preamble_cfo_phase_gain(
+                di[..., :p], dq[..., :p], rxr.pre_iq)
+            return jnp.sum(cfo) + jnp.sum(gain)
+        return f
+
+    def clock(name, f):
+        @jax.jit
+        def run(wi, wq):
+            def body(acc, xs):
+                i, q = xs
+                return acc + f(i, q).astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), (wi, wq))
+            return acc
+        float(np.asarray(run(wi, wq)))
+        times = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            float(np.asarray(run(wi, wq)))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(f"{name:26s} {best * 1e3:8.1f} ms/pass  "
+              f"{samples / best / 1e6:8.1f} MSamp/s", flush=True)
+
+    for w in ("om", "farrow", "mf", "framesync", "gather", "cfo"):
+        clock(f"prefix through: {w}", prefix(w))
+    clock("full rx", lambda i, q: jnp.sum(rxr.rx(i, q, N_PAYLOAD)))
 
 
 if __name__ == "__main__":

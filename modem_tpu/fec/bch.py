@@ -27,7 +27,7 @@ multiply + polynomial reduction), as in `rs.py`.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import cached_property
 
 import numpy as np
 
@@ -99,7 +99,7 @@ class Bch:
 
     # ---- host-built GF(2) matrices ----
 
-    @lru_cache(maxsize=2)
+    @cached_property
     def _encode_matrix(self) -> np.ndarray:
         """[k, p]: parity bits = msg bits @ M (mod 2). Msg bit i is the
         coefficient of x^{n-1-i}; parity bit j of x^{p-1-j}."""
@@ -114,7 +114,7 @@ class Bch:
             m[i] = r[self.p - 1:: -1][: self.p]
         return m
 
-    @lru_cache(maxsize=2)
+    @cached_property
     def _syndrome_matrix(self) -> np.ndarray:
         """[n, 2t*8]: syndrome bits = recv bits @ M (mod 2), packed
         MSB-first per GF(256) syndrome S_j = r(alpha^j), j = 1..2t."""
@@ -157,13 +157,13 @@ class Bch:
         if bits.shape[-1] != self.k:
             raise ValueError(f"expected {self.k} bits, got {bits.shape[-1]}")
         b = bits.astype(jnp.int32)
-        h = jnp.asarray(self._encode_matrix(), jnp.float32)
+        h = jnp.asarray(self._encode_matrix, jnp.float32)
         par = jnp.mod(b.astype(jnp.float32) @ h, 2.0).astype(jnp.int32)
         return jnp.concatenate([b, par], axis=-1)
 
     def syndromes(self, recv: jnp.ndarray) -> jnp.ndarray:
         """``[..., n]`` bits -> ``[..., 2t]`` GF(256) syndromes."""
-        hs = jnp.asarray(self._syndrome_matrix(), jnp.float32)
+        hs = jnp.asarray(self._syndrome_matrix, jnp.float32)
         s = jnp.mod(recv.astype(jnp.float32) @ hs, 2.0).astype(jnp.int32)
         s = s.reshape(s.shape[:-1] + (2 * self.t, 8))
         w = jnp.asarray(1 << np.arange(7, -1, -1), jnp.int32)

@@ -258,9 +258,13 @@ class PolarCode:
         lam = llrs.astype(jnp.float32).reshape((-1, 1, self.n))
         b = lam.shape[0]
         lam = jnp.broadcast_to(lam, (b, list_size, self.n))
-        # only path 0 is alive at the start; clones carry a huge metric
-        # and lose every top-k until real splits populate the list
-        pm0 = jnp.where(jnp.arange(list_size) == 0, 0.0, self._BIG)
+        # Only path 0 is alive at the start; clones carry a huge metric
+        # and lose every top-k until real splits populate the list. The
+        # clones start at 2*_BIG (not _BIG) so a never-populated path —
+        # possible when 2^|info prefix| < list_size — can never tie with
+        # a real CRC-failing path (pm + _BIG == _BIG in float32) and win
+        # the post-CRC argmin fallback below.
+        pm0 = jnp.where(jnp.arange(list_size) == 0, 0.0, 2.0 * self._BIG)
         pm0 = jnp.broadcast_to(pm0[None, :], (b, list_size))
         u, _, pm, _ = self._scl(lam, 0, self.n, pm0, list_size)
         # per-path data bits, [B, L, K] (one-hot extraction matmul)

@@ -157,10 +157,13 @@ def sfo_track(i: jnp.ndarray, q: jnp.ndarray, sps: int, block_len: int,
        (:class:`AcquiringReceiver`, :func:`frame_sync`) works unchanged.
 
     Returns ``(ci, cq, report)`` with ``report = {"t0_blocks",
-    "delay0", "sfo_ppm"}``. The trailing partial block (if any) is
-    corrected by extrapolation. ``max_delay`` bounds the applied integer
-    delay (default: ``2 * sps`` plus the fitted drift range is assumed
-    to fit; raise it for very long streams).
+    "delay0", "sfo_ppm", "clipped"}``. The trailing partial block (if
+    any) is corrected by extrapolation. ``max_delay`` bounds the applied
+    integer delay (default: ``2 * sps`` plus the fitted drift range is
+    assumed to fit; raise it for very long streams) —
+    ``report["clipped"]`` is True per channel wherever the fitted drift
+    range exceeded the bound and the correction was frozen at
+    ``max_delay`` for part of the stream.
     """
     if block_len % sps:
         raise ValueError("block_len must be a multiple of sps")
@@ -210,10 +213,17 @@ def sfo_track(i: jnp.ndarray, q: jnp.ndarray, sps: int, block_len: int,
     # downstream integer frame search.
     c = sps * jnp.ceil(jnp.max(delay, axis=-1, keepdims=True) / sps)
     mi = int(2 * sps) if max_delay is None else int(max_delay)
-    delay = jnp.clip(c - delay, 0.0, mi + 0.999)
+    applied = c - delay
+    # The applied delay spans [0, sps) + fitted drift range; if the
+    # stream drifts further than max_delay the clip below silently
+    # freezes the correction mid-stream. Surface that as a per-channel
+    # report flag (device-side, works under jit) instead of degrading
+    # quietly; callers needing a hard stop can assert on it host-side.
+    clipped = jnp.max(applied, axis=-1) > jnp.float32(mi + 0.999)
+    delay = jnp.clip(applied, 0.0, mi + 0.999)
     ci, cq = varying_delay(i, q, delay, mi)
     report = {"t0_blocks": un, "delay0": delay[..., 0],
-              "sfo_ppm": slope[..., 0] * 1e6}
+              "sfo_ppm": slope[..., 0] * 1e6, "clipped": clipped}
     return ci, cq, report
 
 
