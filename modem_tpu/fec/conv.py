@@ -235,7 +235,8 @@ class ConvCode:
     # ---- windowed (truncated-traceback) decoding ----
 
     def decode_soft_windowed(self, llrs: jnp.ndarray, block_steps: int,
-                             halo_steps: int | None = None) -> jnp.ndarray:
+                             halo_steps: int | None = None,
+                             backend: str = "auto") -> jnp.ndarray:
         """Overlapped-window decode: the time-parallel / streaming form.
 
         The full-block scan above is sequential over all ``T`` trellis
@@ -255,11 +256,26 @@ class ConvCode:
         both flanks pin window 0 to the terminated-trellis start and the
         last window to the state-0 end (traceback through the guard region
         provably rides the zero self-loop back to the true stream end).
+
+        ``backend``: ``"pallas"`` runs every window inside ONE fused
+        kernel (forward ACS + traceback, decisions VMEM-resident —
+        :mod:`modem_tpu.ops.pallas_viterbi`), bit-identical to the
+        ``"xla"`` scan form; ``"auto"`` (default) picks pallas whenever
+        the code shape supports it (S >= 8).
         """
         t = llrs.shape[-1] // self.n
         lam = llrs.reshape(llrs.shape[:-1] + (t, self.n))
         h = 10 * self.k if halo_steps is None else int(halo_steps)
         b = int(block_steps)
+        if backend == "auto":
+            backend = ("pallas" if self.n_states >= 8
+                       and jax.default_backend() in ("tpu", "axon")
+                       else "xla")
+        if backend == "pallas":
+            from ..ops.pallas_viterbi import viterbi_decode_stream
+            return viterbi_decode_stream(self, lam, b, h, _GUARD)
+        if backend != "xla":
+            raise ValueError(f"unknown backend {backend!r}")
         w = -(-t // b)  # windows
         tp = w * b
         pad_l = h
