@@ -270,7 +270,8 @@ class TurboCode:
                           precision=lax.Precision.HIGHEST)
 
     def decode(self, llrs: jnp.ndarray, iters: int | None = None,
-               window: int | None = None, guard: int = 32) -> jnp.ndarray:
+               window: int | None = None, guard: int = 32,
+               backend: str = "auto") -> jnp.ndarray:
         """``[..., 3K+12]`` channel LLRs -> ``[..., K]`` hard info bits
         after ``iters`` max-log turbo iterations.
 
@@ -278,11 +279,33 @@ class TurboCode:
         sliding-window form (:meth:`_bcjr_windowed`) — sequential depth
         ``window + 2*guard`` instead of K+3, with the windows processed
         as batch elements (the throughput form; BER equivalence at the
-        operating point is tested)."""
+        operating point is tested).
+
+        ``backend``: ``"pallas"`` fuses each windowed half-iteration
+        into ONE kernel (alpha + beta + APP, gammas assembled on the
+        fly — :mod:`modem_tpu.ops.pallas_bcjr`), bit-identical to the
+        XLA windowed form at the same (window, guard); ``"auto"``
+        (default) picks pallas on TPU backends whenever ``window`` is
+        set (and defaults ``window=256`` there), ``"xla"`` otherwise.
+        """
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         it = self.iters if iters is None else int(iters)
-        if window is not None:
+        if backend == "auto":
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            backend = "pallas" if on_tpu else "xla"
+            if backend == "pallas" and window is None:
+                window = 256
+        if backend == "pallas":
+            from ..ops.pallas_bcjr import bcjr_windowed, pick_guard
+            if window is None:
+                window = 256
+            g = pick_guard(int(window), int(guard))
+            bcjr = lambda *a: bcjr_windowed(  # noqa: E731
+                *a, window=int(window), guard=g)
+        elif backend != "xla":
+            raise ValueError(f"unknown backend {backend!r}")
+        elif window is not None:
             bcjr = lambda *a: self._bcjr_windowed(  # noqa: E731
                 *a, window=int(window), guard=int(guard))
         else:
