@@ -105,11 +105,12 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
         return jnp.stack([acc, jnp.sum(bits)])
 
-    def make_windowed(block_steps):
+    def make_windowed(block_steps, backend="auto"):
         @jax.jit
         def run(llrs, bits):
             def body(acc, lam):
-                out = code.decode_soft_windowed(lam, block_steps)
+                out = code.decode_soft_windowed(lam, block_steps,
+                                                backend=backend)
                 return acc + jnp.sum(out), None
             acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
             return jnp.stack([acc, jnp.sum(bits)])
@@ -117,9 +118,11 @@ def main():
 
     bench("Viterbi full-block (T=%d scan)" % (N_DATA + 6), run_full,
           (llrs, bits), CHANNELS * N_DATA)
+    bench("Viterbi windowed B=512 h=70 (XLA scan)",
+          make_windowed(512, "xla"), (llrs, bits), CHANNELS * N_DATA)
     for b in (256, 512, 1024):
-        bench(f"Viterbi windowed B={b} h=70", make_windowed(b),
-              (llrs, bits), CHANNELS * N_DATA)
+        bench(f"Viterbi windowed B={b} h=70 (fused Pallas)",
+              make_windowed(b, "pallas"), (llrs, bits), CHANNELS * N_DATA)
 
     # encode/framing are deterministic transforms whose correctness is
     # covered by the test suite; the duplicated checksum just satisfies
@@ -347,8 +350,10 @@ def main():
     from modem_tpu.fec import bch_255_191
 
     bch = bch_255_191()
+    # 128 blocks: the round-3 capture at 64 had 43-90% spreads — pass
+    # cost ~50-90 ms rode the device's between-pass variance band
     bch_cw = int(os.environ.get("BENCH_BCH_CODEWORDS", 2048))
-    bch_blocks = int(os.environ.get("BENCH_BCH_BLOCKS", 64))
+    bch_blocks = int(os.environ.get("BENCH_BCH_BLOCKS", 128))
 
     @jax.jit
     def make_bch(k):
@@ -390,7 +395,7 @@ def main():
 
     turbo = TurboCode(1024)
     tb_ch = int(os.environ.get("BENCH_TURBO_CHANNELS", 512))
-    tb_blocks = int(os.environ.get("BENCH_TURBO_BLOCKS", 8))
+    tb_blocks = int(os.environ.get("BENCH_TURBO_BLOCKS", 16))
     tb_iters = int(os.environ.get("BENCH_TURBO_ITERS", 6))
 
     @jax.jit
@@ -406,17 +411,24 @@ def main():
 
     tb_bits, tb_llrs = make_turbo(jax.random.key(5))
 
-    @jax.jit
-    def run_turbo(llrs, bits):
-        def body(acc, lam):
-            out = turbo.decode(lam, iters=tb_iters)
-            return acc + jnp.sum(out), None
-        acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
-        return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+    def make_turbo_dec(backend, window=None):
+        @jax.jit
+        def run(llrs, bits):
+            def body(acc, lam):
+                out = turbo.decode(lam, iters=tb_iters, window=window,
+                                   backend=backend)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+            return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+        return run
 
-    bench(f"Turbo(K=1024, r=1/3) max-log decode, {tb_iters} iters",
-          run_turbo, (tb_llrs, tb_bits), tb_ch * turbo.k,
+    bench(f"Turbo(K=1024, r=1/3) max-log, {tb_iters} iters (XLA scans)",
+          make_turbo_dec("xla"), (tb_llrs, tb_bits), tb_ch * turbo.k,
           n_blocks=tb_blocks)
+    bench(f"Turbo(K=1024, r=1/3) max-log, {tb_iters} iters "
+          "(fused Pallas BCJR, W=256)",
+          make_turbo_dec("pallas", 256), (tb_llrs, tb_bits),
+          tb_ch * turbo.k, n_blocks=tb_blocks)
 
 
 if __name__ == "__main__":

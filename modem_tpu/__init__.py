@@ -28,7 +28,7 @@ from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
 from . import presets
 from .scfde import ScFdeChain, ScFdeModem
 from .stbc import AlamoutiOfdm
-from .mimo import MimoOfdm
+from .mimo import MimoOfdm, MimoOfdmN
 from .ops.channelizer import Channelizer
 from .wideband import WidebandModem
 
@@ -37,7 +37,7 @@ __all__ = [
     "Demodulator",
     "DifferentialChain", "DsssChain",
     "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
-    "MimoOfdm", "Modulator", "MskChain",
+    "MimoOfdm", "MimoOfdmN", "Modulator", "MskChain",
     "OfdmChain", "OfdmModem", "OfdmStreamReceiver", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "ScFdeChain", "ScFdeModem", "presets",

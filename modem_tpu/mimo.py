@@ -251,3 +251,265 @@ class _MimoChain:
     def rx(self, y, n_symbols: int) -> jnp.ndarray:
         i1, q1, i2, q2 = y
         return self.mimo.rx_frame(i1, q1, i2, q2, n_symbols)
+
+
+# ---------------------------------------------------------------------------
+# N x N spatial multiplexing: split-plane small-matrix MMSE (round 4)
+# ---------------------------------------------------------------------------
+#
+# Complex matrices are (re, im) array pairs with two trailing static
+# dims [..., m, n]; products are HIGHEST-precision einsums over those
+# small dims (batched over bins/channels), and the Hermitian-PD inverse
+# is a RECURSIVE SCHUR COMPLEMENT bottoming out at the 1x1/2x2 adjugate
+# closed forms — every leading block of a Hermitian PD matrix is itself
+# PD, so the recursion never needs pivoting. No linalg.solve, no complex
+# dtype, no per-bin loop: the 4x4 (or any nt) MMSE is pure elementwise/
+# small-einsum algebra over [..., D, nt, nt] tensors, exactly the shape
+# XLA fuses well on TPU.
+
+import jax as _jax
+
+
+def _hp():
+    return _jax.lax.Precision.HIGHEST
+
+
+def _cmm(a, b):
+    """(re, im) matmul over the two trailing dims."""
+    ar, ai = a
+    br, bi = b
+    rr = (jnp.einsum("...ik,...kj->...ij", ar, br, precision=_hp())
+          - jnp.einsum("...ik,...kj->...ij", ai, bi, precision=_hp()))
+    ri = (jnp.einsum("...ik,...kj->...ij", ar, bi, precision=_hp())
+          + jnp.einsum("...ik,...kj->...ij", ai, br, precision=_hp()))
+    return rr, ri
+
+
+def _chermt(a):
+    ar, ai = a
+    return (jnp.swapaxes(ar, -1, -2), -jnp.swapaxes(ai, -1, -2))
+
+
+def _csub(a, b):
+    return a[0] - b[0], a[1] - b[1]
+
+
+def _cinv_h(a, n: int):
+    """Inverse of a Hermitian positive-definite (re, im) matrix pair.
+
+    ``n`` is the static size. Base cases by adjugate (determinants are
+    real for Hermitian input, clamped away from 0); larger sizes split
+    ``[[P, Q], [Q^H, S]]`` and recurse on P and the Schur complement.
+    """
+    ar, ai = a
+    if n == 1:
+        d = jnp.maximum(ar[..., 0, 0], 1e-24)
+        return (1.0 / d)[..., None, None], jnp.zeros_like(ai)
+    if n == 2:
+        p = ar[..., 0, 0]
+        s = ar[..., 1, 1]
+        br, bi = ar[..., 0, 1], ai[..., 0, 1]
+        det = jnp.maximum(p * s - (br * br + bi * bi), 1e-24)
+        rr = jnp.stack([
+            jnp.stack([s, -br], axis=-1),
+            jnp.stack([-br, p], axis=-1)], axis=-2) / det[..., None, None]
+        ri = jnp.stack([
+            jnp.stack([jnp.zeros_like(bi), -bi], axis=-1),
+            jnp.stack([bi, jnp.zeros_like(bi)], axis=-1)],
+            axis=-2) / det[..., None, None]
+        return rr, ri
+    m = n // 2
+    blk = lambda x, r0, r1, c0, c1: x[..., r0:r1, c0:c1]  # noqa: E731
+    p = (blk(ar, 0, m, 0, m), blk(ai, 0, m, 0, m))
+    q = (blk(ar, 0, m, m, n), blk(ai, 0, m, m, n))
+    s = (blk(ar, m, n, m, n), blk(ai, m, n, m, n))
+    pi = _cinv_h(p, m)
+    b = _cmm(pi, q)                       # P^{-1} Q, [.., m, n-m]
+    t = _cinv_h(_csub(s, _cmm(_chermt(q), b)), n - m)
+    bt = _cmm(b, t)
+    tl = (pi[0] + _cmm(bt, _chermt(b))[0], pi[1] + _cmm(bt, _chermt(b))[1])
+    tr = (-bt[0], -bt[1])
+    bl = _chermt(tr)
+    rr = jnp.concatenate([
+        jnp.concatenate([tl[0], tr[0]], axis=-1),
+        jnp.concatenate([bl[0], t[0]], axis=-1)], axis=-2)
+    ri = jnp.concatenate([
+        jnp.concatenate([tl[1], tr[1]], axis=-1),
+        jnp.concatenate([bl[1], t[1]], axis=-1)], axis=-2)
+    return rr, ri
+
+
+class MimoOfdmN:
+    """``nt x nr`` spatially-multiplexed OFDM (nt streams, nr >= nt
+    receive antennas), per-subcarrier MMSE — the N-antenna
+    generalization of :class:`MimoOfdm` (5G operates this at 4x4).
+
+    Frame: ``[STF][LTF slot per TX antenna][payload]``; payload slot s
+    carries ``nt`` independent streams (``nt * bits_per_sym`` bits).
+    Detection inverts ``A = H^H H + g I`` (``nt x nt`` Hermitian PD per
+    data bin) by recursive Schur complement in split I/Q planes (see
+    module notes above); bias removal and the post-detection-SINR LLR
+    weights follow the same unbiased-MMSE convention as the 2x2 class
+    and the SISO chain, so downstream FEC sees consistently scaled
+    beliefs. Antenna axes are stacked tensors ``[..., nt|nr, samples]``.
+    """
+
+    def __init__(self, scheme, nt: int = 4, n_fft: int = 64, cp: int = 16,
+                 seed: int = 2016, **modem_kwargs):
+        if nt < 1:
+            raise ValueError("nt must be >= 1")
+        data, pilots = _default_grid(n_fft)
+        self.nt = int(nt)
+        self.m = OfdmModem(scheme, n_fft=n_fft, cp=cp,
+                           data_bins=data + pilots, pilot_bins=(),
+                           n_ltf=1, seed=seed, **modem_kwargs)
+        self.bits_per_slot = self.nt * self.m.bits_per_sym
+        self._es = float(np.mean(np.sum(
+            np.asarray(self.m.lut, np.float32) ** 2, axis=-1)))
+
+    @property
+    def preamble_len(self) -> int:
+        return (1 + self.nt) * self.m.sym_len
+
+    def frame_len(self, n_symbols: int) -> int:
+        return self.preamble_len + n_symbols * self.m.sym_len
+
+    def bits_per_frame(self, n_symbols: int) -> int:
+        return n_symbols * self.bits_per_slot
+
+    # ------------------------------------------------------------------
+
+    def tx(self, bits: jnp.ndarray):
+        """``[..., n_symbols*bits_per_slot]`` bits -> antenna waveforms
+        ``(i, q)``, each ``[..., nt, frame_len]``."""
+        m, nt = self.m, self.nt
+        di, dq = m.map_bits(bits)                 # [..., nt*S, D]
+        if di.shape[-2] % nt:
+            raise ValueError(f"virtual symbol count must divide by {nt}")
+        sl = m.sym_len
+
+        def with_cp(t):
+            return np.concatenate([t[-m.cp:], t])
+
+        stf_i, stf_q = with_cp(m._stf_ti), with_cp(m._stf_tq)
+        ltf_i, ltf_q = with_cp(m._ltf_ti), with_cp(m._ltf_tq)
+        outs_i, outs_q = [], []
+        for a in range(nt):
+            xi = di[..., a::nt, :]
+            xq = dq[..., a::nt, :]
+            ti, tq = m._payload_td(xi, xq)
+            pi, pq = m._add_cp(ti, tq, m.cp)
+            head_i = np.zeros((1 + nt, sl), np.float32)
+            head_q = np.zeros((1 + nt, sl), np.float32)
+            if a == 0:   # STF from antenna 0 only (as the 2x2 class)
+                head_i[0], head_q[0] = stf_i, stf_q
+            head_i[1 + a], head_q[1 + a] = ltf_i, ltf_q
+            hi = jnp.broadcast_to(jnp.asarray(head_i.reshape(-1)),
+                                  pi.shape[:-1] + ((1 + nt) * sl,))
+            hq = jnp.broadcast_to(jnp.asarray(head_q.reshape(-1)),
+                                  pq.shape[:-1] + ((1 + nt) * sl,))
+            outs_i.append(jnp.concatenate([hi, pi], axis=-1))
+            outs_q.append(jnp.concatenate([hq, pq], axis=-1))
+        return jnp.stack(outs_i, axis=-2), jnp.stack(outs_q, axis=-2)
+
+    # ------------------------------------------------------------------
+
+    def detect(self, yi: jnp.ndarray, yq: jnp.ndarray, n_symbols: int,
+               noise_var: float = 0.0):
+        """``[..., nr, frame_len]`` aligned captures -> per-stream
+        decision points ``(di, dq, w)``: unbiased MMSE estimates in
+        virtual-symbol order ``[..., nt*S, D]`` and LLR weights
+        ``w [..., nt, D]``."""
+        m, nt = self.m, self.nt
+        nr = yi.shape[-2]
+        if nr < nt:
+            raise ValueError(f"need nr >= nt receive antennas ({nr} < {nt})")
+        sl = m.sym_len
+        hs_i, hs_q, sp_i, sp_q = [], [], [], []
+        for j in range(nr):
+            i_j, q_j = yi[..., j, :], yq[..., j, :]
+            row_i, row_q = [], []
+            for a in range(nt):
+                ha = m.estimate_channel(
+                    i_j[..., (1 + a) * sl:(2 + a) * sl],
+                    q_j[..., (1 + a) * sl:(2 + a) * sl])
+                row_i.append(ha[0][..., m._data_in_used])
+                row_q.append(ha[1][..., m._data_in_used])
+            hs_i.append(jnp.stack(row_i, axis=-1))   # [..., D, nt]
+            hs_q.append(jnp.stack(row_q, axis=-1))
+            off = self.preamble_len
+            xi, xq = m._strip_cp(i_j[..., off:], q_j[..., off:], n_symbols)
+            rc = jnp.asarray(m._rx_cd)
+            rs = jnp.asarray(m._rx_sd)
+            sp_i.append(xi @ rc + xq @ rs)           # [..., S, D]
+            sp_q.append(xq @ rc - xi @ rs)
+        h = (jnp.stack(hs_i, axis=-2), jnp.stack(hs_q, axis=-2))
+        # h: [..., D, nr, nt]; y: [..., S, D, nr, 1]
+        y = (jnp.stack(sp_i, axis=-1)[..., None],
+             jnp.stack(sp_q, axis=-1)[..., None])
+        g = jnp.float32(noise_var / self._es)
+        hh = _chermt(h)
+        ar, ai = _cmm(hh, h)                         # [..., D, nt, nt]
+        eye = jnp.eye(nt, dtype=ar.dtype)
+        ar = ar + g * eye
+        ainv = _cinv_h((ar, ai), nt)
+        z = _cmm((hh[0][..., None, :, :, :], hh[1][..., None, :, :, :]), y)
+        s_hat = _cmm((ainv[0][..., None, :, :, :],
+                      ainv[1][..., None, :, :, :]), z)  # [..., S, D, nt, 1]
+        # bias removal + SINR weights: d_k = g [A^{-1}]_kk (real)
+        diag = jnp.einsum("...kk->...k", ainv[0])    # [..., D, nt]
+        d = jnp.clip(g * diag, 0.0, 1.0 - 1e-6)
+        si = s_hat[0][..., 0] / (1.0 - d)[..., None, :, :]
+        sq = s_hat[1][..., 0] / (1.0 - d)[..., None, :, :]
+        w = (1.0 - d) / (jnp.maximum(d, 1e-12) * self._es)
+        w = jnp.swapaxes(w, -1, -2)                  # [..., nt, D]
+        # [..., S, D, nt] -> virtual-symbol order [..., nt*S, D]
+        gi = jnp.swapaxes(si, -1, -2)                # [..., S, nt, D]
+        gq = jnp.swapaxes(sq, -1, -2)
+        shp = gi.shape[:-3] + (gi.shape[-3] * nt,) + gi.shape[-1:]
+        return gi.reshape(shp), gq.reshape(shp), w
+
+    def rx_frame(self, yi, yq, n_symbols: int,
+                 noise_var: float = 0.0) -> jnp.ndarray:
+        """Aligned captures -> hard bits ``[..., n_symbols*bits_per_slot]``."""
+        di, dq, _ = self.detect(yi, yq, n_symbols, noise_var)
+        syms = lut_slice(di, dq, self.m.lut)
+        bits = unpack_symbols(syms, self.m.bits_per_symbol)
+        return bits.reshape(bits.shape[:-2] + (-1,))
+
+    def rx_soft_frame(self, yi, yq, n_symbols: int,
+                      noise_var: float) -> jnp.ndarray:
+        """Aligned captures -> SINR-weighted max-log LLRs."""
+        m = self.m
+        di, dq, w = self.detect(yi, yq, n_symbols, noise_var)
+        llr = lut_llr(di, dq, m.lut, m.bits_per_symbol, 1.0)
+        wb = jnp.repeat(w, m.bits_per_symbol, axis=-1,
+                        total_repeat_length=m.bits_per_sym)
+        s = di.shape[-2] // self.nt
+        wb = jnp.tile(wb, (1,) * (wb.ndim - 2) + (s, 1))
+        llr = llr * wb
+        return llr.reshape(llr.shape[:-2] + (-1,))
+
+    def as_link_chain(self):
+        """FramedLink adapter (one "symbol" = one slot of nt streams);
+        the waveform is the stacked antenna pair ``(i, q)``."""
+        return _MimoChainN(self)
+
+
+class _MimoChainN:
+    def __init__(self, mimo: MimoOfdmN):
+        self.mimo = mimo
+        self.scheme = _MimoScheme(mimo.bits_per_slot)
+
+    def tx(self, bits: jnp.ndarray):
+        return self.mimo.tx(bits)
+
+    def rx_soft(self, y, n_symbols: int,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        yi, yq = y
+        return self.mimo.rx_soft_frame(yi, yq, n_symbols,
+                                       noise_var=noise_var)
+
+    def rx(self, y, n_symbols: int) -> jnp.ndarray:
+        yi, yq = y
+        return self.mimo.rx_frame(yi, yq, n_symbols)
