@@ -411,12 +411,12 @@ def main():
 
     tb_bits, tb_llrs = make_turbo(jax.random.key(5))
 
-    def make_turbo_dec(backend, window=None):
+    def make_turbo_dec(backend, window=None, early_exit=False):
         @jax.jit
         def run(llrs, bits):
             def body(acc, lam):
                 out = turbo.decode(lam, iters=tb_iters, window=window,
-                                   backend=backend)
+                                   backend=backend, early_exit=early_exit)
                 return acc + jnp.sum(out), None
             acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
             return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
@@ -428,6 +428,9 @@ def main():
     bench(f"Turbo(K=1024, r=1/3) max-log, {tb_iters} iters "
           "(fused Pallas BCJR, W=256)",
           make_turbo_dec("pallas", 256), (tb_llrs, tb_bits),
+          tb_ch * turbo.k, n_blocks=tb_blocks)
+    bench(f"Turbo(K=1024, r=1/3) fused + early exit, cap {tb_iters}",
+          make_turbo_dec("pallas", 256, True), (tb_llrs, tb_bits),
           tb_ch * turbo.k, n_blocks=tb_blocks)
 
 

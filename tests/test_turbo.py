@@ -175,3 +175,31 @@ class TestChainIntegration:
         errs = int(jnp.sum(out != data))
         assert hard_errs > 100, hard_errs
         assert errs == 0, errs
+
+
+class TestEarlyExit:
+    def test_early_exit_matches_fixed_iterations(self):
+        """Decision-stability stopping returns the fixed-iteration
+        decisions at the operating point (and corrects real errors)."""
+        tc = TurboCode(256, iters=6)
+        rng = np.random.default_rng(11)
+        bits = rng.integers(0, 2, (8, 256))
+        cw = np.asarray(tc.encode(jnp.asarray(bits, jnp.int32)))
+        llr = jnp.asarray((1.0 - 2.0 * cw) * 2.0
+                          + rng.normal(0, 0.85, cw.shape), jnp.float32)
+        hard_ch = (np.asarray(llr[..., :256]) < 0).astype(np.int64)
+        assert (hard_ch != bits).sum() > 0, "channel too clean"
+        fixed = tc.decode(llr, backend="xla")
+        early = tc.decode(llr, backend="xla", early_exit=True)
+        np.testing.assert_array_equal(np.asarray(early), np.asarray(fixed))
+        np.testing.assert_array_equal(np.asarray(early), bits)
+
+    def test_early_exit_windowed(self):
+        tc = TurboCode(256, iters=6)
+        rng = np.random.default_rng(12)
+        bits = rng.integers(0, 2, (4, 256))
+        cw = np.asarray(tc.encode(jnp.asarray(bits, jnp.int32)))
+        llr = jnp.asarray((1.0 - 2.0 * cw) * 2.0
+                          + rng.normal(0, 0.8, cw.shape), jnp.float32)
+        got = tc.decode(llr, window=64, backend="xla", early_exit=True)
+        np.testing.assert_array_equal(np.asarray(got), bits)
