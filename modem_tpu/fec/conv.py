@@ -312,7 +312,7 @@ class StreamingViterbi:
     """
 
     def __init__(self, code: ConvCode, block_steps: int,
-                 halo_steps: int | None = None):
+                 halo_steps: int | None = None, backend: str = "auto"):
         self.code = code
         self.b = int(block_steps)
         self.h = 10 * code.k if halo_steps is None else int(halo_steps)
@@ -322,17 +322,32 @@ class StreamingViterbi:
             raise ValueError(
                 "block_steps must be >= halo (the right context of a block "
                 "is the head of the next push)")
+        if backend == "auto":
+            backend = ("pallas" if code.n_states >= 8
+                       and jax.default_backend() in ("tpu", "axon")
+                       else "xla")
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self._prev = None      # [..., B, n] undecoded previous block
         self._pretail = None   # [..., h, n] steps before prev
 
     def _window_decode(self, pretail, prev, right, final: bool = False):
         win = jnp.concatenate([pretail, prev, right], axis=-2)
-        pm0 = jnp.zeros((self.code.n_states,), jnp.float32)
-        bias = None
-        if final:  # pin the terminated end state (see decode_soft_windowed)
-            bias = jnp.full((self.code.n_states,), _BIG).at[0].set(0.0)
-        bits = self.code._acs(win, pm0=pm0, end_state="argmin", trim=False,
-                              end_bias=bias)
+        if self.backend == "pallas":
+            # each push is exactly one free-start window batch — the
+            # fused kernel's native shape (bit-identical to the _acs
+            # form, tests/test_pallas_viterbi.py)
+            from ..ops.pallas_viterbi import viterbi_decode_windows
+            pin = jnp.float32(1.0 if final else 0.0)
+            bits = viterbi_decode_windows(self.code, win, pin)
+        else:
+            pm0 = jnp.zeros((self.code.n_states,), jnp.float32)
+            bias = None
+            if final:  # pin the terminated end state
+                bias = jnp.full((self.code.n_states,), _BIG).at[0].set(0.0)
+            bits = self.code._acs(win, pm0=pm0, end_state="argmin",
+                                  trim=False, end_bias=bias)
         return bits[..., self.h:self.h + self.b]
 
     def push(self, llrs: jnp.ndarray) -> jnp.ndarray | None:

@@ -15,6 +15,13 @@ vanishing probability; the tests pin exact equality at the default halo.
 
 Per-device work is ``T/D + 2h`` steps — ≥85% scaling efficiency whenever
 the slab dwarfs the halo (h = 70 steps for K=7 vs slabs of many thousands).
+
+The per-slab decode here is the exact-parity XLA scan form — on a real
+pod where per-chip throughput matters, shard the CHANNEL axis instead
+(``parallel/generic.channel_sharded``) and run
+``decode_soft_windowed(backend="pallas")`` per shard: the fused kernel
+(`modem_tpu.ops.pallas_viterbi`, ~5x) composes with shard_map directly,
+and batch sharding is the natural layout for wide channel banks anyway.
 """
 
 from __future__ import annotations

@@ -95,3 +95,25 @@ class TestStreamingInterop:
         outs.append(sv.flush())
         stream = np.concatenate([np.asarray(o) for o in outs], axis=-1)
         np.testing.assert_array_equal(stream, np.asarray(full))
+
+    def test_streaming_pallas_backend_matches_xla_stream(self):
+        code = ccsds_code()
+        rng = np.random.default_rng(7)
+        bits = rng.integers(0, 2, (2, 384 - (code.k - 1)))
+        cw = code.encode(jnp.asarray(bits, jnp.int32))
+        llr = ((1.0 - 2.0 * cw.astype(jnp.float32)) * 2.0
+               + jnp.asarray(rng.normal(0, 0.8, cw.shape), jnp.float32))
+        lam = llr.reshape(llr.shape[:-1] + (-1, code.n))
+        outs = {}
+        for backend in ("xla", "pallas"):
+            sv = StreamingViterbi(code, 128, backend=backend)
+            got = []
+            for s0 in range(0, lam.shape[-2], 128):
+                blk = lam[..., s0:s0 + 128, :]
+                o = sv.push(blk.reshape(blk.shape[:-2] + (-1,)))
+                if o is not None:
+                    got.append(np.asarray(o))
+            got.append(np.asarray(sv.flush()))
+            outs[backend] = np.concatenate(got, axis=-1)
+        np.testing.assert_array_equal(outs["pallas"], outs["xla"])
+        np.testing.assert_array_equal(outs["pallas"], bits)
