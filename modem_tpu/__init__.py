@@ -24,6 +24,7 @@ from .metrics import LinkStats
 from .streaming import StreamingFusedChain
 from .sync import AcquiringReceiver
 from .link import FramedLink
+from .bitloading import AdaptiveOfdm, bit_loading
 from .ofdm import OfdmChain, OfdmModem, OfdmStreamReceiver
 from . import presets
 from .scfde import ScFdeChain, ScFdeModem
@@ -38,6 +39,7 @@ __all__ = [
     "DifferentialChain", "DsssChain",
     "FhssModem", "FramedLink", "Freq", "FskChain", "GmskChain", "LinkStats",
     "MimoOfdm", "MimoOfdmN", "Modulator", "MskChain",
+    "AdaptiveOfdm", "bit_loading",
     "OfdmChain", "OfdmModem", "OfdmStreamReceiver", "OqpskChain",
     "PulseShapedChain", "Rates", "RxState", "SCHEME_NAMES",
     "ScFdeChain", "ScFdeModem", "presets",
