@@ -224,3 +224,53 @@ def test_demodulate_fused_flag_matches_staged():
                   fused.getvalue().splitlines() for v in line.split(b"\t")])
     assert a.size == b.size > 0
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=2e-4)
+
+
+class TestLinkCli:
+    def test_tx_rx_roundtrip_with_verdicts(self):
+        import io as _io
+        from modem_tpu.cli import link as cli_link
+        rng = np.random.default_rng(0)
+        n_frames = 3
+        args = cli_link.build_parser().parse_args(
+            ["tx", "--preset", "reference", "--batch-frames", "2"])
+        lk = cli_link.PRESETS["reference"]()
+        bits = rng.integers(0, 2, n_frames * lk.payload_bits)
+        ascii_bits = "".join(str(b) for b in bits).encode()
+        out = _io.BytesIO()
+        rc = cli_link.run(args, ascii_bits, out)
+        assert rc == 0
+        wave = out.getvalue()
+
+        rx_args = cli_link.build_parser().parse_args(
+            ["rx", "--preset", "reference", "--noise-var", "0.05",
+             "--batch-frames", "2"])
+        dec = _io.BytesIO()
+        err = _io.StringIO()
+        rc = cli_link.run(rx_args, wave, dec, stderr=err)
+        assert rc == 0
+        lines = dec.getvalue().decode().split()
+        assert len(lines) == n_frames
+        got = np.asarray([int(c) for c in "".join(lines)])
+        np.testing.assert_array_equal(got, bits)
+        assert err.getvalue().count("OK") == n_frames
+
+    def test_rx_flags_corrupted_frame(self):
+        import io as _io
+        from modem_tpu.cli import link as cli_link
+        rng = np.random.default_rng(1)
+        lk = cli_link.PRESETS["reference"]()
+        bits = rng.integers(0, 2, lk.payload_bits)
+        out = _io.BytesIO()
+        cli_link.run(cli_link.build_parser().parse_args(
+            ["tx", "--preset", "reference"]),
+            "".join(str(b) for b in bits).encode(), out)
+        wave = np.frombuffer(out.getvalue(), "<f4").copy()
+        wave[len(wave) // 3: 2 * len(wave) // 3] = 0.0  # burst erasure
+        dec = _io.BytesIO()
+        err = _io.StringIO()
+        rc = cli_link.run(cli_link.build_parser().parse_args(
+            ["rx", "--preset", "reference", "--noise-var", "0.05"]),
+            wave.astype("<f4").tobytes(), dec, stderr=err)
+        assert rc == 1
+        assert "BAD" in err.getvalue()
