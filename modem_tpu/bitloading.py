@@ -221,3 +221,33 @@ class AdaptiveOfdm:
         off += nl
         di, dq, m2 = m._equalize(i[..., off:], q[..., off:], n_symbols, h)
         return self._demap(di, dq, m2, noise_var, soft=True)
+
+    def as_link_chain(self):
+        """Chain-protocol adapter: :class:`modem_tpu.link.FramedLink`
+        (CRC/scramble/FEC framing) over the loaded PHY — one "symbol" =
+        one mixed-constellation OFDM symbol of ``bits_per_sym`` bits."""
+        return _AdaptiveChain(self)
+
+
+class _LoadedSchemeShim:
+    def __init__(self, bits_per_symbol: int):
+        self.bits_per_symbol = bits_per_symbol
+
+
+class _AdaptiveChain:
+    def __init__(self, modem: AdaptiveOfdm):
+        self.modem = modem
+        self.scheme = _LoadedSchemeShim(modem.bits_per_sym)
+
+    def tx(self, bits: jnp.ndarray):
+        return self.modem.tx_frame(bits)
+
+    def rx_soft(self, iq, n_symbols: int,
+                noise_var: float = 1.0) -> jnp.ndarray:
+        i, q = iq
+        return self.modem.rx_soft_frame(i, q, n_symbols,
+                                        noise_var=noise_var)
+
+    def rx(self, iq, n_symbols: int) -> jnp.ndarray:
+        i, q = iq
+        return self.modem.rx_frame(i, q, n_symbols)

@@ -125,3 +125,25 @@ class TestAdaptiveOfdm:
             lut = _unit_lut(b)
             es = float(np.mean(np.sum(lut.astype(np.float64) ** 2, -1)))
             assert abs(es - 1.0) < 1e-6
+
+
+class TestLinkIntegration:
+    def test_framed_link_over_loaded_phy(self):
+        """FramedLink (CRC + scrambler + conv + interleaver) over a
+        mixed-constellation loaded frame through the selective channel."""
+        from modem_tpu.link import FramedLink
+        data, _ = _default_grid(N_FFT)
+        # 24 bins of 16-QAM + 24 of QPSK -> 144 bits/OFDM symbol
+        loading = tuple(4 if i % 2 else 2 for i in range(len(data)))
+        mm = AdaptiveOfdm(loading)
+        link = FramedLink(mm.as_link_chain(), payload_bits=122)
+        rng = np.random.default_rng(7)
+        payload = jnp.asarray(rng.integers(0, 2, (3, 122)), jnp.int32)
+        i, q = link.tx(payload)
+        hi = np.array([0.85, 0.0, 0.2, -0.1], np.float32)
+        hq = np.array([0.05, -0.2, 0.0, 0.08], np.float32)
+        ci, cq = multipath_fir(i, q, hi, hq)
+        ci, cq = awgn(jax.random.key(5), ci, cq, 14.0)
+        got, ok = link.rx((ci, cq), noise_var=10 ** (-14 / 10))
+        assert bool(np.asarray(ok).all())
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(payload))
