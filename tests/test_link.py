@@ -177,3 +177,26 @@ class TestPolarInner:
                        puncturer=Puncturer(rate34_pattern()))
         with pytest.raises(ValueError):  # size coupling
             FramedLink(chain, payload_bits=100, polar=PolarCode(64, 32))
+
+
+class TestConvWindow:
+    def test_windowed_inner_decode_matches_full_block(self):
+        """conv_window routes the inner decode through the windowed
+        (fused-on-TPU) form; at operating SNR decisions match the
+        full-block ML decode and the CRC verdicts hold."""
+        from modem_tpu import Rates
+        from modem_tpu.chain import qpsk_reference_chain
+        from modem_tpu.ops.channel import awgn
+        chain = qpsk_reference_chain(Rates(1250, 10000))
+        full = FramedLink(chain, payload_bits=1002)
+        win = FramedLink(chain, payload_bits=1002, conv_window=256)
+        rng = np.random.default_rng(9)
+        payload = jnp.asarray(rng.integers(0, 2, (4, 1002)), jnp.int32)
+        i, q = full.tx(payload)
+        ci, cq = awgn(jax.random.key(3), i, q, 2.0)
+        nv = 10 ** (-2 / 10)
+        pa, oka = full.rx((ci, cq), noise_var=nv)
+        pb, okb = win.rx((ci, cq), noise_var=nv)
+        assert bool(np.asarray(oka).all()) and bool(np.asarray(okb).all())
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(payload))
+        np.testing.assert_array_equal(np.asarray(pb), np.asarray(payload))
