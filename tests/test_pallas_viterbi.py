@@ -117,3 +117,22 @@ class TestStreamingInterop:
             outs[backend] = np.concatenate(got, axis=-1)
         np.testing.assert_array_equal(outs["pallas"], outs["xla"])
         np.testing.assert_array_equal(outs["pallas"], bits)
+
+
+class TestShardMapComposition:
+    def test_channel_sharded_pallas_decode(self):
+        """The fused kernel composes with shard_map channel sharding —
+        the pod-deployment layout (parallel/viterbi.py docs): per-shard
+        decisions are bitwise the unsharded ones."""
+        from modem_tpu.parallel.generic import channel_sharded
+        from modem_tpu.parallel.mesh import make_modem_mesh
+        code = ccsds_code()
+        rng = np.random.default_rng(8)
+        _, llr = _noisy_llrs(code, rng, (8,), 300, snr=1.0)
+        ref = code.decode_soft_windowed(llr, 96, backend="pallas")
+        mesh = make_modem_mesh(ch=4, time=1)
+        fn = channel_sharded(
+            lambda x: code.decode_soft_windowed(x, 96, backend="pallas"),
+            mesh)
+        got = fn(llr)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
