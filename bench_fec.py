@@ -319,6 +319,11 @@ def main():
     crc = crc16_ccitt()
     scl_blocks = int(os.environ.get("BENCH_POLAR_SCL_BLOCKS", 16))
     scl_list = int(os.environ.get("BENCH_POLAR_LIST", 8))
+    # "pallas" opts into the fused kernel (ops/pallas_scl.py). Start at
+    # SMALL geometry (BENCH_POLAR_SCL_BLOCKS=2 BENCH_POLAR_CHANNELS=512)
+    # under a hard timeout: the first full-size attempt wedged the
+    # shared tunnel server-side (BENCH.md "Fused Pallas CA-SCL status").
+    scl_backend = os.environ.get("BENCH_POLAR_SCL_BACKEND", "auto")
 
     @jax.jit
     def make_scl(k):
@@ -338,7 +343,8 @@ def main():
     @jax.jit
     def run_scl(llrs, bits):
         def body(acc, lam):
-            out = polar.decode_list(lam, scl_list, crc=crc)
+            out = polar.decode_list(lam, scl_list, crc=crc,
+                                    backend=scl_backend)
             return acc + jnp.sum(out), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
         return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])

@@ -187,7 +187,8 @@ class PolarCode:
         return jnp.einsum("blp,bpm->blm", p2, p1,
                           precision=lax.Precision.HIGHEST)
 
-    def _scl(self, llr, lo, hi, pm, list_size):
+    def _scl(self, llr, lo, hi, pm, list_size, kernel_w=0,
+             interpret=None):
         """SCL over u-positions [lo, hi).
 
         ``llr [B, L, hi-lo]`` path-conditional LLRs, ``pm [B, L]`` path
@@ -195,7 +196,16 @@ class PolarCode:
         ``u``/``x`` f32 {0,1} ``[B, L, hi-lo]`` in the POST-selection
         path order and ``perm`` the accumulated ``[B, L, L]`` one-hot
         re-mapping this subtree applied (None = identity).
+
+        ``kernel_w``: subtrees of width <= ``kernel_w`` (with at least
+        one info leaf — all-frozen subtrees reorder nothing and stay in
+        the cheap XLA form) run fused in ONE Pallas kernel
+        (:mod:`modem_tpu.ops.pallas_scl`), bit-identical.
         """
+        if (kernel_w and hi - lo <= kernel_w and list_size == 8
+                and hi - lo >= 2 and not self.frozen[lo:hi].all()):
+            from ..ops.pallas_scl import scl_subtree
+            return scl_subtree(self, llr, lo, hi, pm, interpret)
         if hi - lo == 1:
             lam = llr[..., 0]                      # [B, L]
             if self.frozen[lo]:
@@ -221,7 +231,7 @@ class PolarCode:
         la = llr[..., :half]
         lb = llr[..., half:]
         u1, x1, pm, p1 = self._scl(self._f(la, lb), lo, lo + half,
-                                   pm, list_size)
+                                   pm, list_size, kernel_w, interpret)
         # tensors taking the same reorder are stacked so each path
         # permutation is ONE einsum instead of two (halves the matmul
         # count down the tree)
@@ -229,7 +239,8 @@ class PolarCode:
             ab = self._apply(p1, jnp.concatenate([la, lb], axis=-1))
             la, lb = ab[..., :half], ab[..., half:]
         g = lb + (1.0 - 2.0 * x1) * la
-        u2, x2, pm, p2 = self._scl(g, lo + half, hi, pm, list_size)
+        u2, x2, pm, p2 = self._scl(g, lo + half, hi, pm, list_size,
+                                   kernel_w, interpret)
         if p2 is not None:
             ux = self._apply(p2, jnp.concatenate([u1, x1], axis=-1))
             u1, x1 = ux[..., :half], ux[..., half:]
@@ -239,7 +250,9 @@ class PolarCode:
                 pm, self._compose(p2, p1))
 
     def decode_list(self, llrs: jnp.ndarray, list_size: int = 8,
-                    crc=None) -> jnp.ndarray:
+                    crc=None, backend: str = "auto",
+                    kernel_w: int | None = None,
+                    interpret: bool | None = None) -> jnp.ndarray:
         """``[..., N]`` channel LLRs -> ``[..., K]`` hard data bits by
         successive-cancellation LIST decoding.
 
@@ -249,15 +262,40 @@ class PolarCode:
         of the K data bits (CRC-aided SCL, the 5G arrangement): the
         winner is the lowest-metric path whose CRC passes, falling back
         to the lowest-metric path when none do.
+
+        ``backend``: ``"pallas"`` runs the decode tree fused in Pallas
+        kernels (:mod:`modem_tpu.ops.pallas_scl`), bit-identical to the
+        ``"xla"`` traced-tree form (chip-verified at (64,32) and the
+        production (256,128)). ``"auto"`` (default) currently keeps the
+        XLA form: the kernel's parity is proven on hardware but its
+        throughput capture at production batch geometry is pending (the
+        shared TPU tunnel wedged mid-measurement), so the proven path
+        stays the default until the number is on file. ``kernel_w`` caps
+        the fused subtree width (default: the full tree); smaller caps
+        leave the top tree levels in XLA.
         """
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         if list_size < 1:
             raise ValueError("list_size must be >= 1")
+        if backend == "auto":
+            backend = "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and list_size != 8:
+            raise ValueError("pallas SCL is specialized to list_size 8 "
+                             "(use the XLA backend)")
+        kw = 0
+        if backend == "pallas":
+            kw = self.n if kernel_w is None else int(kernel_w)
         batch = llrs.shape[:-1]
         lam = llrs.astype(jnp.float32).reshape((-1, 1, self.n))
         b = lam.shape[0]
-        lam = jnp.broadcast_to(lam, (b, list_size, self.n))
+        if kw < self.n:
+            # the XLA tree levels need the explicit list axis; with the
+            # kernel at the root the path-broadcast [B, 1, N] is kept
+            # (the kernel defers broadcasting until a reorder happens)
+            lam = jnp.broadcast_to(lam, (b, list_size, self.n))
         # Only path 0 is alive at the start; clones carry a huge metric
         # and lose every top-k until real splits populate the list. The
         # clones start at 2*_BIG (not _BIG) so a never-populated path —
@@ -266,7 +304,8 @@ class PolarCode:
         # the post-CRC argmin fallback below.
         pm0 = jnp.where(jnp.arange(list_size) == 0, 0.0, 2.0 * self._BIG)
         pm0 = jnp.broadcast_to(pm0[None, :], (b, list_size))
-        u, _, pm, _ = self._scl(lam, 0, self.n, pm0, list_size)
+        u, _, pm, _ = self._scl(lam, 0, self.n, pm0, list_size, kw,
+                                interpret)
         # per-path data bits, [B, L, K] (one-hot extraction matmul)
         data = jnp.einsum("bln,nk->blk", u,
                           jnp.asarray(self._extract, jnp.float32),
