@@ -317,12 +317,15 @@ def main():
 
     # ---- CRC-aided SCL-8 (round 3): ~list_size x the SC work ----
     crc = crc16_ccitt()
-    scl_blocks = int(os.environ.get("BENCH_POLAR_SCL_BLOCKS", 16))
+    # 64 blocks: at 16 the fused-kernel pass (~49 ms) is still ~1.6x the
+    # dispatch floor; 64 amortizes it (117 ms/pass, spread 2%)
+    scl_blocks = int(os.environ.get("BENCH_POLAR_SCL_BLOCKS", 64))
     scl_list = int(os.environ.get("BENCH_POLAR_LIST", 8))
-    # "pallas" opts into the fused kernel (ops/pallas_scl.py). Start at
-    # SMALL geometry (BENCH_POLAR_SCL_BLOCKS=2 BENCH_POLAR_CHANNELS=512)
-    # under a hard timeout: the first full-size attempt wedged the
-    # shared tunnel server-side (BENCH.md "Fused Pallas CA-SCL status").
+    # "auto" = the fused hybrid kernel (ops/pallas_scl.py, kernel_w=128)
+    # on the chip; "xla" recovers the traced-tree row. Do NOT pass
+    # kernel_w=256 geometry here: the full-tree Mosaic compile is
+    # unpredictable and once wedged the shared tunnel server-side
+    # (BENCH.md "Fused Pallas CA-SCL" section).
     scl_backend = os.environ.get("BENCH_POLAR_SCL_BACKEND", "auto")
 
     @jax.jit

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 from jax import lax
 import jax.numpy as jnp
 
@@ -266,20 +267,26 @@ class PolarCode:
         ``backend``: ``"pallas"`` runs the decode tree fused in Pallas
         kernels (:mod:`modem_tpu.ops.pallas_scl`), bit-identical to the
         ``"xla"`` traced-tree form (chip-verified at (64,32) and the
-        production (256,128)). ``"auto"`` (default) currently keeps the
-        XLA form: the kernel's parity is proven on hardware but its
-        throughput capture at production batch geometry is pending (the
-        shared TPU tunnel wedged mid-measurement), so the proven path
-        stays the default until the number is on file. ``kernel_w`` caps
-        the fused subtree width (default: the full tree); smaller caps
-        leave the top tree levels in XLA.
+        production (256,128)); ``"auto"`` (default) picks pallas on a
+        TPU backend when list_size is 8 (the kernel's sublane-group
+        size). ``kernel_w`` caps the fused subtree width; ``None``
+        defaults to ``min(n, 128)``: subtree kernels up to w=128 under
+        XLA top levels measured fastest on the chip at the production
+        (256,128) — 286 Mbit/s vs the XLA tree's 20 (kw 32/64/full:
+        133/234-at-same-geometry/unstable), and the full-tree w=256
+        Mosaic compile is additionally UNPREDICTABLE (41.8 s once, then
+        twice >570 s wedging the shared tunnel server-side), so the
+        bounded hybrid is both the fast and the safe default. Pass an
+        explicit ``kernel_w=n`` to force the single-kernel form.
         """
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         if list_size < 1:
             raise ValueError("list_size must be >= 1")
         if backend == "auto":
-            backend = "xla"
+            backend = ("pallas" if list_size == 8 and self.n >= 4
+                       and jax.default_backend() in ("tpu", "axon")
+                       else "xla")
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and list_size != 8:
@@ -287,7 +294,8 @@ class PolarCode:
                              "(use the XLA backend)")
         kw = 0
         if backend == "pallas":
-            kw = self.n if kernel_w is None else int(kernel_w)
+            kw = (min(self.n, 128) if kernel_w is None
+                  else int(kernel_w))
         batch = llrs.shape[:-1]
         lam = llrs.astype(jnp.float32).reshape((-1, 1, self.n))
         b = lam.shape[0]
