@@ -12,14 +12,15 @@ from .conv import ConvCode, StreamingViterbi, ccsds_code
 from .crc import Crc, crc16_ccitt, crc32_mpeg2
 from .interleave import block_deinterleave, block_interleave
 from .ldpc import QcLdpc
-from .polar import PolarCode
+from .polar import PolarCode, RateMatchedPolar
 from .puncture import Puncturer, rate23_pattern, rate34_pattern
 from .rs import ReedSolomon, rs_255_223, rs_dvb
 from .scramble import Scrambler, dvb_scrambler, ieee80211_scrambler
 from .turbo import TurboCode
 
 __all__ = [
-    "Bch", "ConvCode", "Crc", "PolarCode", "Puncturer", "QcLdpc", "ReedSolomon",
+    "Bch", "ConvCode", "Crc", "PolarCode", "Puncturer", "QcLdpc",
+    "RateMatchedPolar", "ReedSolomon",
     "Scrambler",
     "StreamingViterbi", "TurboCode", "block_deinterleave",
     "bch_255_191", "bch_255_239",

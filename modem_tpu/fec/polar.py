@@ -71,14 +71,40 @@ def _bhattacharyya_order(n_bits: int) -> np.ndarray:
     return np.argsort(logz)  # smallest z (most reliable) first
 
 
+def _z_udomain(z: np.ndarray) -> np.ndarray:
+    """Per-channel BEC erasure probs ``z [N]`` (coded-bit domain, natural
+    order) -> u-domain erasure probs, matching the SC decode order (the
+    tree's f-half first): the top split pairs ``a = z[:N/2]`` with
+    ``b = z[N/2:]`` elementwise — f-combined (worse) channels
+    ``a + b - ab`` feed u[:N/2], g-combined (better) ``ab`` feed
+    u[N/2:]. With uniform ``z`` this reproduces `_bhattacharyya_order`'s
+    ranking; non-uniform ``z`` is what rate matching needs (punctured
+    coded bits are erased with certainty, z = 1). Linear float64: exact
+    0s/1s propagate exactly; deep z^2 chains may underflow to 0 and tie,
+    but ties only occur among effectively-perfect channels."""
+    if z.size == 1:
+        return z
+    half = z.size // 2
+    a, b = z[:half], z[half:]
+    return np.concatenate([_z_udomain(a + b - a * b), _z_udomain(a * b)])
+
+
 class PolarCode:
     """(N, K) polar code with SC decoding.
 
     ``n`` must be a power of two; the ``K`` most reliable synthetic
     channels carry data, the rest are frozen to zero.
+
+    ``force_frozen``: u-positions that must be frozen regardless of
+    reliability (rate-matched shortening needs the tail structurally
+    frozen so the shortened coded bits are zero). ``channel_z``:
+    per-coded-bit initial BEC erasure probabilities (default uniform
+    0.5) — puncturing marks dropped positions ``z = 1`` so the
+    construction freezes the u-channels that became undecodable.
     """
 
-    def __init__(self, n: int = 256, k: int = 128):
+    def __init__(self, n: int = 256, k: int = 128,
+                 force_frozen=None, channel_z=None):
         if n & (n - 1) or n < 2:
             raise ValueError("n must be a power of two >= 2")
         if not 0 < k <= n:
@@ -86,7 +112,27 @@ class PolarCode:
         self.n = int(n)
         self.k = int(k)
         self.n_bits = int(np.log2(n))
-        order = _bhattacharyya_order(self.n_bits)
+        if channel_z is None:
+            order = _bhattacharyya_order(self.n_bits)
+        else:
+            z = np.asarray(channel_z, np.float64)
+            if z.shape != (n,):
+                raise ValueError(f"channel_z must have shape ({n},)")
+            zu = _z_udomain(z)
+            order = np.argsort(zu, kind="stable")
+            self._z_u = zu
+        if force_frozen is not None:
+            banned = np.zeros(n, bool)
+            banned[np.asarray(force_frozen, np.int64)] = True
+            order = order[~banned[order]]
+            if order.size < k:
+                raise ValueError(
+                    f"only {order.size} usable channels after "
+                    f"force-freezing, need k={k}")
+        if channel_z is not None and float(self._z_u[order[k - 1]]) > 0.999:
+            raise ValueError(
+                "k exceeds the number of usable synthetic channels for "
+                "this puncturing pattern (selected a z~1 channel)")
         self.data_idx = np.sort(order[:k])          # ascending positions
         frozen = np.ones(n, bool)
         frozen[self.data_idx] = False
@@ -328,3 +374,122 @@ class PolarCode:
         out = jnp.einsum("bl,blk->bk", sel, data,
                          precision=lax.Precision.HIGHEST)
         return (out > 0.5).astype(jnp.int32).reshape(batch + (self.k,))
+
+
+class RateMatchedPolar:
+    """Polar code rate matching: arbitrary transmitted length E from a
+    power-of-two mother code (the 5G arrangement, NR 38.212-shaped).
+
+    Polar codewords are power-of-two sized; real control channels carry
+    E coded bits for arbitrary E. Three standard mechanisms, selected by
+    ``mode`` (``"auto"`` applies 5G's rule):
+
+    * **shortening** (E < N, rate > 7/16): drop the LAST N-E coded bits.
+      The tail set is superset-closed under the bit-domination order
+      (i ⊇ j implies i >= j numerically), so structurally freezing the
+      SAME u-tail forces those coded bits to zero — the receiver knows
+      them and de-matches with a large known-bit LLR.
+    * **puncturing** (E < N, rate <= 7/16): drop the FIRST N-E coded
+      bits. The receiver knows nothing about them (LLR 0); the
+      construction marks them erased-with-certainty (``channel_z = 1``)
+      so the u-channels that become undecodable freeze automatically
+      (exactly N-E of them end at z = 1).
+    * **repetition** (E > N): re-transmit the first E-N coded bits; the
+      receiver SUMS the repeated LLRs (independent-observation combine).
+
+    Head/tail patterns are in natural order — the interleaver-free
+    analog of 5G's sub-block-interleaved QUP patterns (same structural
+    guarantees, no standardized bit positions claimed). TPU shaping:
+    matching/de-matching are static slices/pads/adds around the existing
+    batched encode/decode, so every backend (XLA SC, SCL, the fused
+    Pallas SCL kernel) works unchanged on the mother code.
+
+    New capability (the reference has no FEC; SURVEY.md "What the
+    reference is NOT").
+    """
+
+    #: LLR magnitude for shortened (known-zero) positions: 2^30 — huge
+    #: vs any real channel LLR yet leaves 2^8 headroom of exact-f32
+    #: additions before the path-metric scale (PolarCode._BIG = 1e30).
+    KNOWN_LLR = np.float32(2.0 ** 30)
+
+    def __init__(self, k: int, e: int, n: int | None = None,
+                 mode: str = "auto"):
+        if e < 1:
+            raise ValueError("need e >= 1")
+        if n is None:
+            n = 1 << max(2, int(np.ceil(np.log2(e))))
+        if n & (n - 1) or n < 2:
+            raise ValueError("n must be a power of two >= 2")
+        if mode == "auto":
+            if e > n:
+                mode = "repeat"
+            elif e == n:
+                mode = "none"
+            else:
+                mode = "shorten" if k / e > 7.0 / 16.0 else "puncture"
+        if mode not in ("none", "shorten", "puncture", "repeat"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode in ("none", "shorten", "puncture") and e > n:
+            raise ValueError(f"mode {mode!r} needs e <= n, got {e} > {n}")
+        if mode == "repeat" and not n < e <= 2 * n:
+            raise ValueError(f"repetition needs n < e <= 2n, got e={e}")
+        if mode == "none" and e != n:
+            raise ValueError("mode 'none' needs e == n")
+        if k > min(e, n):
+            raise ValueError(f"need k <= min(e, n) = {min(e, n)}")
+        self.k, self.e, self.n, self.mode = int(k), int(e), int(n), mode
+        m = abs(n - e)
+        if mode == "shorten":
+            self.code = PolarCode(n, k, force_frozen=np.arange(n - m, n))
+        elif mode == "puncture":
+            z = np.full(n, 0.5)
+            z[:m] = 1.0
+            self.code = PolarCode(n, k, channel_z=z)
+        else:
+            self.code = PolarCode(n, k)
+
+    def encode(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """``[..., K]`` data bits -> ``[..., E]`` transmitted bits."""
+        x = self.code.encode(bits)
+        if self.mode == "shorten":
+            return x[..., : self.e]
+        if self.mode == "puncture":
+            return x[..., self.n - self.e:]
+        if self.mode == "repeat":
+            return jnp.concatenate(
+                [x, x[..., : self.e - self.n]], axis=-1)
+        return x
+
+    def dematch(self, llrs: jnp.ndarray) -> jnp.ndarray:
+        """``[..., E]`` received LLRs -> ``[..., N]`` mother-code LLRs
+        (known-zero tail for shortening, zero-information head for
+        puncturing, summed repeats for repetition)."""
+        if llrs.shape[-1] != self.e:
+            raise ValueError(f"expected {self.e} LLRs, got {llrs.shape[-1]}")
+        lam = llrs.astype(jnp.float32)
+        pad = self.n - self.e
+        if self.mode == "shorten":
+            known = jnp.full(lam.shape[:-1] + (pad,), self.KNOWN_LLR,
+                             jnp.float32)
+            return jnp.concatenate([lam, known], axis=-1)
+        if self.mode == "puncture":
+            return jnp.concatenate(
+                [jnp.zeros(lam.shape[:-1] + (pad,), jnp.float32), lam],
+                axis=-1)
+        if self.mode == "repeat":
+            r = self.e - self.n
+            head = lam[..., : r] + lam[..., self.n:]
+            return jnp.concatenate([head, lam[..., r: self.n]], axis=-1)
+        return lam
+
+    def decode(self, llrs: jnp.ndarray) -> jnp.ndarray:
+        """``[..., E]`` LLRs -> ``[..., K]`` bits (SC on the mother code)."""
+        return self.code.decode(self.dematch(llrs))
+
+    def decode_list(self, llrs: jnp.ndarray, list_size: int = 8,
+                    crc=None, **kwargs) -> jnp.ndarray:
+        """``[..., E]`` LLRs -> ``[..., K]`` bits (CA-SCL on the mother
+        code; all `PolarCode.decode_list` backends apply unchanged)."""
+        return self.code.decode_list(self.dematch(llrs), list_size,
+                                     crc=crc, **kwargs)
