@@ -46,7 +46,9 @@ class FramedLink:
     (:class:`modem_tpu.fec.QcLdpc`): the framed block must then be a whole
     number of LDPC data blocks (``coded_in % ldpc.k == 0``), and
     puncturing does not apply. ``polar`` likewise selects a polar inner
-    code (:class:`modem_tpu.fec.PolarCode`, ``coded_in % polar.k == 0``),
+    code (:class:`modem_tpu.fec.PolarCode` or a rate-matched
+    :class:`modem_tpu.fec.RateMatchedPolar`, whose E — not N — bits go
+    on the wire; ``coded_in % polar.k == 0``),
     and ``turbo`` an LTE-shaped turbo inner code
     (:class:`modem_tpu.fec.TurboCode`, ``coded_in % turbo.k == 0``).
     """
@@ -114,7 +116,10 @@ class FramedLink:
                     f"framed block of {coded_in} bits must divide by the "
                     f"polar data size {polar.k}; adjust payload_bits")
             self._steps = coded_in // polar.k  # polar codewords per frame
-            wire = self._steps * polar.n
+            # a RateMatchedPolar inner code puts E (not N) bits on the
+            # wire; plain PolarCode has no .e
+            self._polar_wire = getattr(polar, "e", polar.n)
+            wire = self._steps * self._polar_wire
         elif turbo is not None:
             if coded_in % turbo.k:
                 raise ValueError(
@@ -165,7 +170,7 @@ class FramedLink:
             m = self._steps
             x = x.reshape(x.shape[:-1] + (m, self.polar.k))
             x = self.polar.encode(x)
-            x = x.reshape(x.shape[:-2] + (m * self.polar.n,))
+            x = x.reshape(x.shape[:-2] + (m * self._polar_wire,))
         elif self.turbo is not None:
             m = self._steps
             x = x.reshape(x.shape[:-1] + (m, self.turbo.k))
@@ -198,7 +203,7 @@ class FramedLink:
             x = x.reshape(x.shape[:-2] + (m * self.ldpc.k,))
         elif self.polar is not None:
             m = self._steps
-            x = x.reshape(x.shape[:-1] + (m, self.polar.n))
+            x = x.reshape(x.shape[:-1] + (m, self._polar_wire))
             x = self.polar.decode(x)
             x = x.reshape(x.shape[:-2] + (m * self.polar.k,))
         elif self.turbo is not None:

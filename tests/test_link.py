@@ -165,6 +165,19 @@ class TestPolarInner:
         errs, ok, n = _run(link, snr_db=-2.0, seed=7)
         assert errs == 0 and ok.all()
 
+    def test_rate_matched_polar_framed_link(self):
+        """RateMatchedPolar as the inner code: E (not N) bits per
+        codeword on the wire, exact payloads + true CRC verdicts."""
+        from modem_tpu.fec import RateMatchedPolar
+
+        code = RateMatchedPolar(128, 192, n=256)      # shorten, r=2/3
+        assert code.mode == "shorten"
+        link = FramedLink(qpsk_reference_chain(RATES),
+                          payload_bits=4 * code.k - 16, polar=code)
+        assert link.wire_bits == 4 * code.e
+        errs, ok, n = _run(link, snr_db=3.0, seed=8)
+        assert errs == 0 and ok.all()
+
     def test_polar_excludes_other_inners(self):
         from modem_tpu.fec import PolarCode, QcLdpc
 
