@@ -4,19 +4,22 @@ Control channels are the native habitat of polar codes: short payloads,
 awkward coded lengths, CRC-gated blind decoding. The round-4 pieces in
 one flow:
 
-    84-bit payload (+CRC-16 -> K=100)
+    384-bit frame payload (+frame CRC-16)
       -> rate-matched polar: N=256 mother code SHORTENED to E=180
          (rate 0.56 > 7/16, structural zero-tail)   fec/polar.py
       -> framed QPSK burst over the flagship chain  link.FramedLink
       -> AWGN
       -> soft demod -> LLR de-match (known-bit tail)
-      -> CA-SCL-8: the fused Pallas hybrid kernel on TPU, the traced
-         XLA tree on CPU — bit-identical either way  ops/pallas_scl.py
-      -> lowest-metric CRC-passing path -> payload + verdict
+      -> SCL-8 per codeword (polar_list=8): metric-best path — the
+         fused Pallas hybrid kernel on TPU, the traced XLA tree on
+         CPU, bit-identical either way              ops/pallas_scl.py
+      -> frame CRC-16 verdict over the reassembled payload
 
-plus the property that makes CRC-aided decoding deployable: fed pure
-noise (blind decode of a grant that was never sent), the CRC verdict
-rejects ~all frames (false-alarm rate ~2^-16 per list path).
+The second section is the CRC-AIDED arrangement (CRC inside the polar
+payload steering the list winner, `decode_list(crc=...)`), shown on the
+property that makes it deployable: fed pure noise (blind decode of a
+grant that was never sent), the CRC verdict rejects ~all frames
+(false-alarm rate ~2^-16 per list path).
 
 Run: python examples/control_channel.py          (TPU or CPU)
 """
@@ -49,7 +52,8 @@ def main():
 
     # FramedLink couples the sizes: 4 codewords/frame, CRC-16 outer
     link = FramedLink(qpsk_reference_chain(Rates(1250, 10000)),
-                      payload_bits=4 * code.k - 16, polar=code)
+                      payload_bits=4 * code.k - 16, polar=code,
+                      polar_list=8)
     print(f"frame: {link.payload_bits} payload bits -> "
           f"{link.wire_bits} wire bits ({link.n_symbols} QPSK symbols)")
 

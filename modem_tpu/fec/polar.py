@@ -330,7 +330,13 @@ class PolarCode:
         if list_size < 1:
             raise ValueError("list_size must be >= 1")
         if backend == "auto":
-            backend = ("pallas" if list_size == 8 and self.n >= 4
+            # pallas only on the chip-verified size range (n <= 256 is
+            # what the parity + compile behavior was validated on;
+            # larger codes' subtree frozen patterns were never
+            # compile-checked, and Mosaic compile of this kernel family
+            # has shown pathological variance — BENCH.md caveat). The
+            # XLA form remains available for every n.
+            backend = ("pallas" if list_size == 8 and 4 <= self.n <= 256
                        and jax.default_backend() in ("tpu", "axon")
                        else "xla")
         if backend not in ("xla", "pallas"):
@@ -338,6 +344,9 @@ class PolarCode:
         if backend == "pallas" and list_size != 8:
             raise ValueError("pallas SCL is specialized to list_size 8 "
                              "(use the XLA backend)")
+        if backend == "pallas" and kernel_w is not None and kernel_w < 2:
+            raise ValueError("kernel_w < 2 would silently run the XLA "
+                             "path; pass backend='xla' instead")
         kw = 0
         if backend == "pallas":
             kw = (min(self.n, 128) if kernel_w is None

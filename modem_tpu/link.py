@@ -48,7 +48,9 @@ class FramedLink:
     puncturing does not apply. ``polar`` likewise selects a polar inner
     code (:class:`modem_tpu.fec.PolarCode` or a rate-matched
     :class:`modem_tpu.fec.RateMatchedPolar`, whose E — not N — bits go
-    on the wire; ``coded_in % polar.k == 0``),
+    on the wire; ``coded_in % polar.k == 0``; ``polar_list`` upgrades
+    the per-codeword decode from SC to metric-best SCL — the frame CRC
+    stays the outer verdict, it does not aid the list decode),
     and ``turbo`` an LTE-shaped turbo inner code
     (:class:`modem_tpu.fec.TurboCode`, ``coded_in % turbo.k == 0``).
     """
@@ -63,6 +65,7 @@ class FramedLink:
                  ldpc: QcLdpc | None = None,
                  ldpc_iters: int = 30,
                  polar: PolarCode | None = None,
+                 polar_list: int | None = None,
                  turbo: TurboCode | None = None,
                  turbo_iters: int | None = None,
                  conv_window: int | None = None):
@@ -78,6 +81,9 @@ class FramedLink:
         self.ldpc = ldpc
         self.ldpc_iters = int(ldpc_iters)
         self.polar = polar
+        self.polar_list = None if polar_list is None else int(polar_list)
+        if self.polar_list is not None and polar is None:
+            raise ValueError("polar_list needs a polar inner code")
         self.turbo = turbo
         self.turbo_iters = turbo_iters
         self.conv = (None if (ldpc is not None or polar is not None
@@ -204,7 +210,10 @@ class FramedLink:
         elif self.polar is not None:
             m = self._steps
             x = x.reshape(x.shape[:-1] + (m, self._polar_wire))
-            x = self.polar.decode(x)
+            # polar_list: SCL with metric-best winner (the fused Pallas
+            # hybrid kernel on TPU at list 8); default SC
+            x = (self.polar.decode(x) if self.polar_list is None
+                 else self.polar.decode_list(x, self.polar_list))
             x = x.reshape(x.shape[:-2] + (m * self.polar.k,))
         elif self.turbo is not None:
             m = self._steps

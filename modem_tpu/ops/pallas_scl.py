@@ -63,13 +63,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from .pallas_chain import LANE, _auto_interpret
+
 L = 8  # list size carried on sublane groups — the kernel's only size
-
-
-def _auto_interpret() -> bool:
-    """Compile for real TPUs; interpret elsewhere (CPU test meshes)."""
-    return jax.default_backend() not in ("tpu", "axon")
 
 
 def _iota(rows: int) -> jnp.ndarray:
@@ -309,8 +305,11 @@ def scl_subtree(code, llr: jnp.ndarray, lo: int, hi: int,
     u = jnp.transpose(u.reshape(w, L, b + pad), (2, 1, 0))[:b]
     x = jnp.transpose(x.reshape(w, L, b + pad), (2, 1, 0))[:b]
     pmo = jnp.transpose(pmo, (1, 0))[:b]
-    if not any(not f for f in frozen):
-        return u, x, pmo, None                       # statically identity
+    if all(frozen):
+        # statically identity — unreachable from PolarCode._scl (its
+        # dispatch rule keeps all-frozen subtrees in XLA), kept for
+        # direct callers
+        return u, x, pmo, None
     par = jnp.transpose(par, (1, 0))[:b]             # [B, L]
     perm = (par[..., None] == jnp.arange(L, dtype=par.dtype)
             ).astype(jnp.float32)                    # [B, L, L]

@@ -178,6 +178,24 @@ class TestPolarInner:
         errs, ok, n = _run(link, snr_db=3.0, seed=8)
         assert errs == 0 and ok.all()
 
+    def test_polar_list_inner_decode(self):
+        """polar_list routes the inner decode through metric-best SCL;
+        at operating SNR decisions match SC and verdicts hold (SCL can
+        only improve on SC), and the option is polar-only."""
+        from modem_tpu.fec import PolarCode
+
+        code = PolarCode(128, 64)
+        chain = qpsk_reference_chain(RATES)
+        kw = dict(payload_bits=4 * code.k - 16, polar=code)
+        sc = FramedLink(chain, **kw)
+        scl = FramedLink(chain, **kw, polar_list=8)
+        errs, ok, n = _run(scl, snr_db=0.0, seed=11)
+        assert errs == 0 and ok.all()
+        errs_sc, ok_sc, _ = _run(sc, snr_db=0.0, seed=11)
+        assert errs_sc == 0 and ok_sc.all()
+        with pytest.raises(ValueError, match="polar_list"):
+            FramedLink(chain, payload_bits=1002, polar_list=8)
+
     def test_polar_excludes_other_inners(self):
         from modem_tpu.fec import PolarCode, QcLdpc
 
