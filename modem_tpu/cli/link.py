@@ -36,6 +36,7 @@ PRESETS = {
     "dvb_like": presets.dvb_like_link,
     "ccsds_deep_space": presets.ccsds_deep_space_link,
     "lte_like_turbo": presets.lte_like_turbo_link,
+    "nr_like_control": presets.nr_like_control_link,
 }
 
 BATCH_FRAMES = 16

@@ -21,8 +21,8 @@ from __future__ import annotations
 from .config import Rates
 from .chain import PulseShapedChain, qpsk_reference_chain
 from .fec import (
-    Puncturer, QcLdpc, TurboCode, ccsds_code, rate34_pattern, rs_255_223,
-    rs_dvb)
+    Puncturer, QcLdpc, RateMatchedPolar, TurboCode, ccsds_code,
+    rate34_pattern, rs_255_223, rs_dvb)
 from .gmsk import GmskChain
 from .link import FramedLink
 from .models import make_scheme
@@ -94,6 +94,21 @@ def lte_like_turbo_link(turbo_iters: int = 6) -> FramedLink:
                       payload_bits=code.k - 16, turbo=code,
                       turbo_iters=turbo_iters,
                       interleave_rows=12)  # 3084 = 12 * 257
+
+
+def nr_like_control_link(list_size: int = 8) -> FramedLink:
+    """NR-control-shaped link over the QPSK chain: rate-matched polar
+    inner code (N=256 mother SHORTENED to E=180, rate 0.56 — the
+    5G-style arbitrary coded length, `fec/polar.RateMatchedPolar`) with
+    per-codeword metric-best SCL (the fused Pallas hybrid kernel on TPU
+    at list 8), frame CRC-16 verdicts. Payload 384 bits per frame; wire
+    = 720 coded bits = 360 QPSK symbols. Error-free from about 1 dB SNR
+    per complex sample (see examples/control_channel.py for the
+    CRC-aided blind-decode arrangement)."""
+    code = RateMatchedPolar(100, 180, n=256)
+    return FramedLink(qpsk_reference_chain(REFERENCE_RATES),
+                      payload_bits=4 * code.k - 16, polar=code,
+                      polar_list=list_size)
 
 
 def mimo_ofdm_link(ldpc_iters: int = 30) -> FramedLink:

@@ -52,6 +52,13 @@ def test_lte_like_turbo_link():
     assert errs == 0 and ok.all()
 
 
+def test_nr_like_control_link():
+    link = presets.nr_like_control_link()
+    assert link.payload_bits == 384 and link.n_symbols == 360
+    errs, ok = _run_link(link, snr_db=1.0, seed=3)
+    assert errs == 0 and ok.all()
+
+
 def test_mimo_ofdm_link():
     """Rate-doubled MIMO counterpart of the wifi link: same airtime per
     slot, 26 LDPC codewords through a cross-coupled flat 2x2 channel."""
