@@ -330,13 +330,14 @@ class PolarCode:
         if list_size < 1:
             raise ValueError("list_size must be >= 1")
         if backend == "auto":
-            # pallas only on the chip-verified size range (n <= 256 is
-            # what the parity + compile behavior was validated on;
-            # larger codes' subtree frozen patterns were never
-            # compile-checked, and Mosaic compile of this kernel family
-            # has shown pathological variance — BENCH.md caveat). The
-            # XLA form remains available for every n.
-            backend = ("pallas" if list_size == 8 and 4 <= self.n <= 256
+            # pallas only on the chip-verified size range: hybrid
+            # (kernel_w=128) parity + compile validated on hardware at
+            # (64,32), (256,128), (512,256) and (1024,512). Larger
+            # codes' subtree frozen patterns were never compile-checked
+            # and Mosaic compile of this kernel family has shown
+            # pathological variance (BENCH.md caveat), so they keep the
+            # XLA form unless pallas is requested explicitly.
+            backend = ("pallas" if list_size == 8 and 4 <= self.n <= 1024
                        and jax.default_backend() in ("tpu", "axon")
                        else "xla")
         if backend not in ("xla", "pallas"):
