@@ -175,9 +175,19 @@ class PolarCode:
         """Variable-node combine: b + (1 - 2 x1) a."""
         return b + (1.0 - 2.0 * x1.astype(jnp.float32)) * a
 
-    def _sc(self, llr: jnp.ndarray, lo: int, hi: int):
+    def _sc(self, llr: jnp.ndarray, lo: int, hi: int, kernel_w: int = 0,
+            interpret=None):
         """SC over u-positions [lo, hi); returns (u_hat, x_hat), both
-        int32 ``[..., hi-lo]``. Traced recursion — unrolls to ~2N nodes."""
+        int32 ``[..., hi-lo]``. Traced recursion — unrolls to ~2N nodes.
+
+        ``kernel_w``: subtrees of width <= ``kernel_w`` (with at least
+        one info leaf) run fused in ONE Pallas kernel
+        (:mod:`modem_tpu.ops.pallas_sc`), bit-identical.
+        """
+        if (kernel_w and hi - lo <= kernel_w and hi - lo >= 2
+                and not self.frozen[lo:hi].all()):
+            from ..ops.pallas_sc import sc_subtree
+            return sc_subtree(self, llr, lo, hi, interpret)
         if hi - lo == 1:
             if self.frozen[lo]:
                 u = jnp.zeros(llr.shape, jnp.int32)
@@ -187,18 +197,47 @@ class PolarCode:
         half = (hi - lo) // 2
         la = llr[..., :half]
         lb = llr[..., half:]
-        u1, x1 = self._sc(self._f(la, lb), lo, lo + half)
-        u2, x2 = self._sc(self._g(la, lb, x1), lo + half, hi)
+        u1, x1 = self._sc(self._f(la, lb), lo, lo + half, kernel_w,
+                          interpret)
+        u2, x2 = self._sc(self._g(la, lb, x1), lo + half, hi, kernel_w,
+                          interpret)
         return (jnp.concatenate([u1, u2], axis=-1),
                 jnp.concatenate([x1 ^ x2, x2], axis=-1))
 
-    def decode(self, llrs: jnp.ndarray) -> jnp.ndarray:
+    def decode(self, llrs: jnp.ndarray, backend: str = "auto",
+               kernel_w: int | None = None,
+               interpret: bool | None = None) -> jnp.ndarray:
         """``[..., N]`` channel LLRs (positive = bit 0) -> ``[..., K]``
-        hard data bits (successive cancellation)."""
+        hard data bits (successive cancellation).
+
+        ``backend``: ``"pallas"`` runs the decode tree fused in Pallas
+        kernels (:mod:`modem_tpu.ops.pallas_sc`), bit-identical to the
+        ``"xla"`` traced-tree form; ``"auto"`` (default) picks pallas on
+        a TPU backend for n <= 1024 (mirroring
+        :meth:`decode_list`'s verified range). ``kernel_w`` caps the
+        fused subtree width (default ``min(n, 128)`` — the SCL
+        Mosaic-compile-variance lesson, BENCH.md "Fused Pallas CA-SCL").
+        """
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
-        u_hat, _ = self._sc(llrs.astype(jnp.float32), 0, self.n)
-        return u_hat @ jnp.asarray(self._extract)
+        if backend == "auto":
+            backend = ("pallas" if 4 <= self.n <= 1024
+                       and jax.default_backend() in ("tpu", "axon")
+                       else "xla")
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and kernel_w is not None and kernel_w < 2:
+            raise ValueError("kernel_w < 2 would silently run the XLA "
+                             "path; pass backend='xla' instead")
+        kw = 0
+        if backend == "pallas":
+            kw = (min(self.n, 128) if kernel_w is None
+                  else int(kernel_w))
+        batch = llrs.shape[:-1]
+        lam = llrs.astype(jnp.float32).reshape((-1, self.n))
+        u_hat, _ = self._sc(lam, 0, self.n, kw, interpret)
+        return (u_hat @ jnp.asarray(self._extract)).reshape(
+            batch + (self.k,))
 
     def decode_full(self, llrs: jnp.ndarray) -> jnp.ndarray:
         """Like :meth:`decode` but returns the re-encoded codeword
@@ -493,9 +532,10 @@ class RateMatchedPolar:
             return jnp.concatenate([head, lam[..., r: self.n]], axis=-1)
         return lam
 
-    def decode(self, llrs: jnp.ndarray) -> jnp.ndarray:
-        """``[..., E]`` LLRs -> ``[..., K]`` bits (SC on the mother code)."""
-        return self.code.decode(self.dematch(llrs))
+    def decode(self, llrs: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        """``[..., E]`` LLRs -> ``[..., K]`` bits (SC on the mother
+        code; all `PolarCode.decode` backends apply unchanged)."""
+        return self.code.decode(self.dematch(llrs), **kwargs)
 
     def decode_list(self, llrs: jnp.ndarray, list_size: int = 8,
                     crc=None, **kwargs) -> jnp.ndarray:
