@@ -129,10 +129,13 @@ class PolarCode:
                 raise ValueError(
                     f"only {order.size} usable channels after "
                     f"force-freezing, need k={k}")
-        if channel_z is not None and float(self._z_u[order[k - 1]]) > 0.999:
+        if channel_z is not None and float(self._z_u[order[k - 1]]) >= 1.0:
+            # only exact z == 1 channels are structurally undecodable
+            # (exact 1s propagate exactly in the float64 recursion,
+            # _z_udomain docstring); z in (0.999, 1) is merely weak
             raise ValueError(
                 "k exceeds the number of usable synthetic channels for "
-                "this puncturing pattern (selected a z~1 channel)")
+                "this puncturing pattern (selected a z=1 channel)")
         self.data_idx = np.sort(order[:k])          # ascending positions
         frozen = np.ones(n, bool)
         frozen[self.data_idx] = False
@@ -214,14 +217,24 @@ class PolarCode:
         kernels (:mod:`modem_tpu.ops.pallas_sc`), bit-identical to the
         ``"xla"`` traced-tree form; ``"auto"`` (default) picks pallas on
         a TPU backend for n <= 1024 (mirroring
-        :meth:`decode_list`'s verified range). ``kernel_w`` caps the
-        fused subtree width (default ``min(n, 128)`` — the SCL
+        :meth:`decode_list`'s verified range) when the batch is at
+        least half the kernel's 1024-codeword tile — smaller
+        latency-shaped batches would be zero-padded up to 16x and pay
+        full-tile compute, so they keep the XLA tree. ``kernel_w`` caps
+        the fused subtree width (default ``min(n, 128)`` — the SCL
         Mosaic-compile-variance lesson, BENCH.md "Fused Pallas CA-SCL").
         """
         if llrs.shape[-1] != self.n:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
+        if backend == "xla" and (kernel_w is not None
+                                 or interpret is not None):
+            raise ValueError("kernel_w/interpret only apply to "
+                             "backend='pallas'; they would be silently "
+                             "ignored under backend='xla'")
         if backend == "auto":
+            batch_n = int(np.prod(llrs.shape[:-1], dtype=np.int64))
             backend = ("pallas" if 4 <= self.n <= 1024
+                       and batch_n >= 512
                        and jax.default_backend() in ("tpu", "axon")
                        else "xla")
         if backend not in ("xla", "pallas"):
@@ -368,6 +381,11 @@ class PolarCode:
             raise ValueError(f"expected {self.n} LLRs, got {llrs.shape[-1]}")
         if list_size < 1:
             raise ValueError("list_size must be >= 1")
+        if backend == "xla" and (kernel_w is not None
+                                 or interpret is not None):
+            raise ValueError("kernel_w/interpret only apply to "
+                             "backend='pallas'; they would be silently "
+                             "ignored under backend='xla'")
         if backend == "auto":
             # pallas only on the chip-verified size range: hybrid
             # (kernel_w=128) parity + compile validated on hardware at
@@ -490,7 +508,14 @@ class RateMatchedPolar:
         self.k, self.e, self.n, self.mode = int(k), int(e), int(n), mode
         m = abs(n - e)
         if mode == "shorten":
-            self.code = PolarCode(n, k, force_frozen=np.arange(n - m, n))
+            # shortened coded positions are KNOWN zeros at the receiver
+            # (z = 0), which improves the reliability ranking vs keeping
+            # the uniform-z order; force_frozen keeps the structural
+            # zero-tail guarantee independent of the construction
+            z = np.full(n, 0.5)
+            z[n - m:] = 0.0
+            self.code = PolarCode(n, k, force_frozen=np.arange(n - m, n),
+                                  channel_z=z)
         elif mode == "puncture":
             z = np.full(n, 0.5)
             z[:m] = 1.0

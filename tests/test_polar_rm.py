@@ -66,9 +66,20 @@ class TestConstruction:
             RateMatchedPolar(8, 96, n=64, mode="puncture")
         with pytest.raises(ValueError, match="repetition"):
             RateMatchedPolar(8, 48, n=64, mode="repeat")
+        # rate ~1 through a heavy puncture: every selected channel is
+        # weak (z up to ~1-6e-9) but none is exactly 1, so construction
+        # succeeds (ADVICE r4: only exact z == 1 is structurally
+        # undecodable; the float64 recursion propagates exact 1s exactly)
+        assert RateMatchedPolar(40, 40, n=64, mode="puncture").k == 40
+        # the z = 1 guard still fires when a custom pattern leaves fewer
+        # than k structurally usable channels (standard puncturing never
+        # does: m punctured coded bits -> exactly m exact-1 u-channels,
+        # and k <= e = n - m)
+        from modem_tpu.fec import PolarCode
+        z = np.full(8, 0.5)
+        z[:4] = 1.0
         with pytest.raises(ValueError, match="usable"):
-            # rate ~1 through a heavy puncture: k exceeds live channels
-            RateMatchedPolar(40, 40, n=64, mode="puncture")
+            PolarCode(8, 5, channel_z=z)
 
 
 class TestShorten:
