@@ -46,6 +46,14 @@ line on stdout on EVERY exit path:
 
 Knobs: BENCH_DEADLINE (total seconds, default 1500), BENCH_ATTEMPT_DEADLINE
 (per child attempt, default 600), BENCH_LADDER (comma list of block counts).
+
+Subsystem attestation (round 5): after the flagship line, the parent
+also runs ``bench_subsystems.py`` as a second child (budget
+BENCH_SUBSYS_DEADLINE, default 900 s) and emits its
+``{"subsystems": ...}`` summary line. Output order is flagship line,
+subsystems line, flagship line again — the first print survives an
+outer kill, the repeat keeps the LAST JSON line (what the driver
+parses) the headline metric. BENCH_SUBSYSTEMS=0 disables.
 """
 
 from __future__ import annotations
@@ -77,6 +85,41 @@ def _last_json_line(text):
                 return json.loads(line)
             except ValueError:
                 continue
+    return None
+
+
+def _subsystems_line(t_end):
+    """Run bench_subsystems.py as a child; return its JSON line or None.
+
+    Never raises: the subsystem summary is strictly additive — any
+    failure (disabled, out of budget, child crash/hang) just means the
+    flagship line stands alone, as in rounds 1-4.
+    """
+    if os.environ.get("BENCH_SUBSYSTEMS", "1") != "1":
+        return None
+    budget = float(os.environ.get("BENCH_SUBSYS_DEADLINE", 900))
+    remaining = t_end - time.monotonic() + budget  # extra window
+    if remaining < 180:
+        return None
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_subsystems.py")
+    if not os.path.exists(script):
+        return None
+    env = dict(os.environ, BENCH_SUBSYS_DEADLINE=str(int(remaining - 60)))
+    out = ""
+    try:
+        proc = subprocess.run([sys.executable, script], env=env,
+                              capture_output=True, text=True,
+                              timeout=remaining)
+        out = proc.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout.decode() if isinstance(e.stdout, bytes)
+               else e.stdout) or ""
+    except Exception:  # noqa: BLE001
+        return None
+    rec = _last_json_line(out)
+    if rec is not None and "subsystems" in rec:
+        return json.dumps(rec)
     return None
 
 
@@ -112,7 +155,12 @@ def orchestrate():
             if blocks != base_blocks:
                 rec.setdefault("blocks", blocks)
                 rec.setdefault("degraded", True)
-            print(json.dumps(rec))
+            line = json.dumps(rec)
+            print(line, flush=True)  # headline survives an outer kill
+            sub = _subsystems_line(t_end)
+            if sub is not None:
+                print(sub, flush=True)
+                print(line, flush=True)  # last JSON line = headline
             return 0
         tail = (proc.stderr or "")[-2000:]
         if "UNAVAILABLE" in tail and not retried_unavailable:

@@ -1,0 +1,320 @@
+"""Driver-attestable subsystem summary: ONE JSON line, reduced-size runs.
+
+VERDICT r4 item 3: every BENCH.md figure except the flagship metric was
+builder-reported. This script re-measures the key subsystem rows at
+reduced geometry (sized to fit inside bench.py's deadline alongside the
+flagship child) and prints ONE compact JSON line::
+
+    {"subsystems": {"fused_tx_gsps": ..., "fused_rx_gsps": ...,
+                    "viterbi_mbps": ..., "ldpc_mbps": ...,
+                    "turbo_mbps": ..., "scl_mbps": ...,
+                    "ofdm_rx_gsps": ..., "gates_passed": N,
+                    "gates_total": M}}
+
+bench.py's orchestrator runs this as a second child and forwards the
+line BEFORE the flagship metric line (which stays last so the driver's
+``parsed`` record keeps the headline metric). Rows are independently
+try/except'd: a failing row reports ``null`` rather than killing the
+line. Geometry is reduced vs the dedicated bench_* scripts (fewer
+blocks, 3 passes), so these numbers are attestation floors, not the
+headline captures — BENCH.md records both.
+
+Methodology per BENCH.md: device-side ``lax.scan`` pass loops, inputs
+generated on-device, decided+expected checksums fetched through one
+compiled function, best-of-3 passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+import jax.numpy as jnp
+
+PASSES = 3
+DEADLINE = time.monotonic() + float(
+    os.environ.get("BENCH_SUBSYS_DEADLINE", 900))
+# BENCH_SUBSYS_SMOKE=1: tiny geometry for a CPU shape/plumbing check —
+# the reported rates are meaningless, only the JSON line shape matters
+SMOKE = os.environ.get("BENCH_SUBSYS_SMOKE") == "1"
+
+RESULT: dict[str, object] = {}
+
+
+def measure(fn, args, work, unit_scale):
+    """Best-of-PASSES rate for a compiled ``fn(*args) -> [got, expect]``."""
+    vals = np.asarray(fn(*args))  # compile + first-sync
+    got, expect = float(vals[0]), float(vals[1])
+    assert got == expect, f"checksum {got} != {expect}"
+    best = None
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        got = float(np.asarray(fn(*args))[0])
+        dt = time.perf_counter() - t0
+        assert got == expect
+        best = dt if best is None else min(best, dt)
+    return round(work / best / unit_scale, 2)
+
+
+def row(name, builder):
+    if time.monotonic() > DEADLINE - 30:
+        RESULT[name] = None
+        return
+    try:
+        RESULT[name] = builder()
+    except Exception as e:  # noqa: BLE001 — a dead row must not kill the line
+        RESULT[name] = None
+        print(f"# {name} failed: {type(e).__name__}: {str(e)[:120]}",
+              file=sys.stderr)
+
+
+def main():
+    from modem_tpu import Rates
+    from modem_tpu.chain import qpsk_reference_chain
+
+    rates = Rates(1250, 10000)
+    chain = qpsk_reference_chain(rates)
+    C, S = (8, 64) if SMOKE else (256, 4096)
+    sps = rates.samples_per_symbol
+
+    def make_bits(blocks, bps, width):
+        return jax.jit(
+            lambda k: jax.random.bernoulli(
+                k, 0.5, (blocks, C, width * bps)).astype(jnp.int8)
+        )(jax.random.key(0))
+
+    # --- fused TX half (symbols -> f32 I/Q waveform) -------------------
+    def fused_tx():
+        blocks = 2 if SMOKE else 32
+        bits = make_bits(blocks, 2, S)
+
+        @jax.jit
+        def run(bits):
+            def body(acc, b):
+                i, q = chain.tx_fused(b)
+                return acc + jnp.sum(i[..., -1]) + jnp.sum(q[..., -1]), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), bits)
+            return jnp.stack([acc, acc])
+
+        return measure(run, (bits,), blocks * C * S * sps, 1e9)
+
+    row("fused_tx_gsps", fused_tx)
+
+    # --- fused RX half (waveform -> decided bits, exact) ---------------
+    def fused_rx():
+        blocks = 2 if SMOKE else 16
+        bits = make_bits(blocks, 2, S)
+
+        @jax.jit
+        def make_wave(bits):
+            def body(_, b):
+                return 0, chain.tx_fused(b)
+            _, (i, q) = jax.lax.scan(body, 0, bits)
+            return i, q
+
+        wi, wq = make_wave(bits)
+        jax.block_until_ready((wi, wq))
+
+        @jax.jit
+        def run(wi, wq, bits):
+            def body(acc, xs):
+                i, q, b = xs
+                return acc + jnp.sum(chain.rx_fused((i, q), S)), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
+            return jnp.stack([acc, jnp.sum(bits)])
+
+        return measure(run, (wi, wq, bits), blocks * C * S * sps, 1e9)
+
+    row("fused_rx_gsps", fused_rx)
+
+    # --- Viterbi windowed fused (K=7, B=512) ---------------------------
+    def viterbi():
+        from modem_tpu.fec import ccsds_code
+
+        code = ccsds_code()
+        blocks, n_data = (2, 512) if SMOKE else (8, 4096)
+
+        @jax.jit
+        def make(k):
+            kb, kn = jax.random.split(k)
+            bits = jax.random.bernoulli(
+                kb, 0.5, (blocks, C, n_data)).astype(jnp.int32)
+            c = code.encode(bits)
+            y = (1.0 - 2.0 * c
+                 + 0.5 * jax.random.normal(kn, c.shape, jnp.float32))
+            return bits, 8.0 * y
+
+        bits, llrs = make(jax.random.key(1))
+
+        @jax.jit
+        def run(llrs, bits):
+            def body(acc, lam):
+                out = code.decode_soft_windowed(lam, 512)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+            return jnp.stack([acc, jnp.sum(bits)])
+
+        return measure(run, (llrs, bits), blocks * C * n_data, 1e6)
+
+    row("viterbi_mbps", viterbi)
+
+    # --- LDPC layered bf16 early-exit ----------------------------------
+    def ldpc_row():
+        from modem_tpu.fec import QcLdpc
+
+        ldpc = QcLdpc()  # the (648, 324) rate-1/2 default
+        blocks, ch = (2, 64) if SMOKE else (16, 4096)
+
+        @jax.jit
+        def make(k):
+            kb, kn = jax.random.split(k)
+            bits = jax.random.bernoulli(
+                kb, 0.5, (blocks, ch, ldpc.k)).astype(jnp.int8)
+            c = ldpc.encode(bits.astype(jnp.int32))
+            y = (1.0 - 2.0 * c
+                 + 0.35 * jax.random.normal(kn, c.shape, jnp.float32))
+            return bits, (2.0 * y / 0.1225).astype(jnp.bfloat16)
+
+        bits, llrs = make(jax.random.key(2))
+
+        @jax.jit
+        def run(llrs, bits):
+            def body(acc, lam):
+                out = ldpc.decode(lam, iters=10, schedule="layered",
+                                  msg_dtype=jnp.bfloat16, early_exit=True)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+            return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+
+        return measure(run, (llrs, bits), blocks * ch * ldpc.k, 1e6)
+
+    row("ldpc_mbps", ldpc_row)
+
+    # --- Turbo fused BCJR + early exit ---------------------------------
+    def turbo_row():
+        from modem_tpu.fec import TurboCode
+
+        turbo = TurboCode(1024)
+        blocks, ch = (1, 16) if SMOKE else (4, 512)
+
+        @jax.jit
+        def make(k):
+            kb, kn = jax.random.split(k)
+            bits = jax.random.bernoulli(
+                kb, 0.5, (blocks, ch, turbo.k)).astype(jnp.int8)
+            c = turbo.encode(bits.astype(jnp.int32))
+            y = (1.0 - 2.0 * c
+                 + 0.6 * jax.random.normal(kn, c.shape, jnp.float32))
+            return bits, (2.0 * y / 0.36).astype(jnp.bfloat16)
+
+        bits, llrs = make(jax.random.key(3))
+
+        @jax.jit
+        def run(llrs, bits):
+            def body(acc, lam):
+                out = turbo.decode(lam, iters=6, early_exit=True)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+            return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+
+        return measure(run, (llrs, bits), blocks * ch * turbo.k, 1e6)
+
+    row("turbo_mbps", turbo_row)
+
+    # --- CA-SCL-8 fused hybrid -----------------------------------------
+    def scl_row():
+        from modem_tpu.fec import PolarCode, crc16_ccitt
+
+        polar = PolarCode(256, 128)
+        crc = crc16_ccitt()
+        blocks, ch = (1, 128) if SMOKE else (16, 4096)
+
+        @jax.jit
+        def make(k):
+            kb, kn = jax.random.split(k)
+            data = jax.random.bernoulli(
+                kb, 0.5, (blocks, ch, polar.k - crc.w)).astype(jnp.int32)
+            framed = crc.append(data)
+            c = polar.encode(framed)
+            y = (1.0 - 2.0 * c
+                 + 0.3 * jax.random.normal(kn, c.shape, jnp.float32))
+            return framed.astype(jnp.int8), (
+                2.0 * y / 0.09).astype(jnp.bfloat16)
+
+        bits, llrs = make(jax.random.key(4))
+
+        @jax.jit
+        def run(llrs, bits):
+            def body(acc, lam):
+                out = polar.decode_list(lam, 8, crc=crc)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), llrs)
+            return jnp.stack([acc, jnp.sum(bits, dtype=jnp.int32)])
+
+        return measure(run, (llrs, bits), blocks * ch * polar.k, 1e6)
+
+    row("scl_mbps", scl_row)
+
+    # --- OFDM rx_frame (QPSK, exact @30 dB) ----------------------------
+    def ofdm_rx():
+        from modem_tpu.models import make_scheme
+        from modem_tpu.ofdm import OfdmModem
+        from modem_tpu.ops.channel import awgn
+
+        m = OfdmModem(make_scheme("qpsk", rates))
+        n_sym, blocks = (16, 2) if SMOKE else (64, 64)
+        flen = m.frame_len(n_sym)
+        nbits = m.bits_per_frame(n_sym)
+
+        @jax.jit
+        def make(k):
+            kb, kn = jax.random.split(k)
+            bits = jax.random.bernoulli(
+                kb, 0.5, (blocks, C, nbits)).astype(jnp.int8)
+            _, w = jax.lax.scan(
+                lambda c_, b: (c_, jnp.stack(
+                    m.tx_frame(b.astype(jnp.int32)))), 0, bits)
+            ni, nq = awgn(kn, w[:, 0], w[:, 1], 30.0)
+            return bits, ni.astype(jnp.bfloat16), nq.astype(jnp.bfloat16)
+
+        bits, wi, wq = make(jax.random.key(5))
+
+        @jax.jit
+        def run(wi, wq, bits):
+            def body(acc, xs):
+                i, q, b = xs
+                out = m.rx_frame(i.astype(jnp.float32),
+                                 q.astype(jnp.float32), n_sym)
+                return acc + jnp.sum(out), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
+            return jnp.stack([acc, jnp.sum(bits)])
+
+        return measure(run, (wi, wq, bits), blocks * C * flen, 1e9)
+
+    row("ofdm_rx_gsps", ofdm_rx)
+
+    # --- BER release gates (scale 1) -----------------------------------
+    def gates():
+        from modem_tpu.harness import release_gates
+
+        gs = release_gates(seed=0, scale=1)
+        RESULT["gates_total"] = len(gs)
+        return sum(1 for g in gs if g["passed"])
+
+    if not SMOKE:
+        row("gates_passed", gates)
+
+    print(json.dumps({"subsystems": RESULT}))
+
+
+if __name__ == "__main__":
+    main()
