@@ -203,12 +203,15 @@ class PulseShapedChain:
         return self.lut, None
 
     def tx_fused(self, bits: jnp.ndarray, sym_offset=0,
-                 out_scale: float | None = None):
+                 out_scale: float | None = None,
+                 wave_dtype=jnp.float32):
         """bits -> waveform via the fused TX kernel
         (:func:`modem_tpu.ops.pallas_txrx.fused_tx`): same output as
         :meth:`tx` up to f32 reassociation, one VMEM-resident pass.
         ``out_scale`` emits int16 (the CLI wire format) at half the HBM
-        write cost."""
+        write cost; ``wave_dtype=jnp.bfloat16`` halves the baseband
+        write cost (f32 in-kernel compute, decisions via
+        :meth:`rx_fused` unchanged on clean waveforms — tested)."""
         from .ops.pallas_txrx import fused_tx
 
         lut, qp = self._txrx_params()
@@ -218,6 +221,7 @@ class PulseShapedChain:
             sample_rate=self.rates.sample_rate
             if self.carrier_hz is not None else None,
             sym_offset=sym_offset, qam_params=qp, out_scale=out_scale,
+            wave_dtype=wave_dtype,
         )
 
     def rx_fused(self, rx_wave, n_symbols: int, sym_offset=0) -> jnp.ndarray:

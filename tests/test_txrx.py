@@ -49,6 +49,24 @@ def test_fused_tx_to_fused_rx_roundtrip(qpsk_chain):
     assert jnp.array_equal(ch.rx_fused(ch.tx_fused(bits), 700), bits)
 
 
+def test_bf16_wave_io_decisions_exact(qpsk_chain):
+    """bf16 waveform storage (half the HBM crossing cost): values round
+    once at the TX write, decisions through the matched filter are
+    unchanged, and the RX accepts bf16 directly (in-kernel upcast)."""
+    ch = qpsk_chain
+    bits = _bits(np.random.default_rng(7), 3, 600, 2)
+    bi, bq = ch.tx_fused(bits, wave_dtype=jnp.bfloat16)
+    assert bi.dtype == jnp.bfloat16 and bq.dtype == jnp.bfloat16
+    fi, fq = ch.tx_fused(bits)
+    # one bf16 rounding of the f32 kernel output, nothing else
+    np.testing.assert_array_equal(
+        np.asarray(bi), np.asarray(fi.astype(jnp.bfloat16)))
+    # decisions identical to the f32 path (clean waveform)
+    assert jnp.array_equal(ch.rx_fused((bi, bq), 600), bits)
+    assert jnp.array_equal(ch.rx_fused((bi, bq), 600),
+                           ch.rx_fused((fi, fq), 600))
+
+
 def test_soft_decision_points(qpsk_chain):
     ch = qpsk_chain
     bits = _bits(np.random.default_rng(3), 2, 300, 2)
