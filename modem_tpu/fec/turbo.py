@@ -302,15 +302,19 @@ class TurboCode:
         if backend == "auto":
             on_tpu = jax.default_backend() in ("tpu", "axon")
             backend = "pallas" if on_tpu else "xla"
-            if backend == "pallas" and window is None:
-                window = 256
         if backend == "pallas":
             from ..ops.pallas_bcjr import bcjr_windowed, pick_guard
             if window is None:
-                window = 256
-            g = pick_guard(int(window), int(guard))
-            bcjr = lambda *a: bcjr_windowed(  # noqa: E731
-                *a, window=int(window), guard=g)
+                # round-5 auto geometry: one window covering the whole
+                # trellis where VMEM allows (pick_geometry) — the EXACT
+                # full-block BCJR at ~1.5x fewer steps than the legacy
+                # 256-step multi-window schedule
+                bcjr = lambda *a: bcjr_windowed(  # noqa: E731
+                    *a, window=None, guard=int(guard))
+            else:
+                g = pick_guard(int(window), int(guard))
+                bcjr = lambda *a: bcjr_windowed(  # noqa: E731
+                    *a, window=int(window), guard=g)
         elif backend != "xla":
             raise ValueError(f"unknown backend {backend!r}")
         elif window is not None:

@@ -215,6 +215,23 @@ def _decode_rows(code, lam, pin, chunk: int, interpret: bool):
     )(omp, lam, pin)
 
 
+def _pick_chunk(code, t_in: int) -> int:
+    """Unroll granule: a multiple of ``lcm(K-1, _RENORM)`` (so rotor
+    phase and renorm cadence stay static in the unrolled body) chosen to
+    minimize front padding first, then maximize the unroll — bigger
+    unrolls measured +15-25% on the chip for the BCJR sibling kernel
+    (fori_loop overhead); chunking is value-neutral."""
+    base = math.lcm(code.k - 1, _RENORM)
+    best = None  # (padded_t, -chunk, chunk)
+    c = base
+    while c <= 150:
+        cand = (t_in + (-t_in) % c, -c, c)
+        if best is None or cand < best:
+            best = cand
+        c += base
+    return best[2]
+
+
 def viterbi_decode_windows(code, win: jnp.ndarray, pin: jnp.ndarray,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Fused decode of a batch of free-start trellis windows.
@@ -231,10 +248,7 @@ def viterbi_decode_windows(code, win: jnp.ndarray, pin: jnp.ndarray,
         raise ValueError("pallas viterbi needs S >= 8 (use the XLA path)")
     batch = win.shape[:-2]
     t_in, n = win.shape[-2], win.shape[-1]
-    # chunk = lcm(K-1, renorm cadence): keeps both the rotor phase and
-    # the renormalization boundary static within the unrolled body while
-    # renorm stays mod-8 aligned with the XLA form's front padding
-    chunk = math.lcm(code.k - 1, _RENORM)
+    chunk = _pick_chunk(code, t_in)
     r = int(np.prod(batch)) if batch else 1
     rows = win.reshape((r, t_in, n))
     pinr = jnp.broadcast_to(pin, batch).reshape((r,)).astype(jnp.float32)
@@ -282,7 +296,7 @@ def viterbi_decode_stream(code, lam: jnp.ndarray, block_steps: int,
     w = -(-t // b)
     tp_stream = w * b
     tw = b + 2 * h
-    chunk = math.lcm(code.k - 1, _RENORM)
+    chunk = _pick_chunk(code, tw)
     pad_t = (-tw) % chunk
     c = int(np.prod(batch)) if batch else 1
 
