@@ -72,15 +72,21 @@ def main():
 
     errs, total = run_frame(AdaptiveOfdm(loading), seed=0)
     print(f"adaptive loading : {errs}/{total} bit errors")
-    assert errs == 0, "adaptive frame should be error-free at design SNR"
+    # the 8 dB gap rule designs for BER ~1e-4, so a single noise
+    # realization of ~13k bits may legitimately contain a stray error
+    # (platform numerics shift which realization you get); the contrast
+    # with fixed 64-QAM (hundreds of errors on the faded bins) is the
+    # demonstration
+    assert errs <= 3, f"adaptive frame far off its design BER: {errs}"
 
     errs6, total6 = run_frame(AdaptiveOfdm((6,) * len(data)), seed=1)
     print(f"fixed 64-QAM     : {errs6}/{total6} bit errors "
           "(faded bins fail, as expected)")
-    assert errs6 > 0, "fixed 64-QAM should fail on the faded bins"
+    assert errs6 > 100 * max(errs, 1), \
+        "fixed 64-QAM should fail hard on the faded bins"
 
     rate_gain = sum(loading) / (2 * len(data))
-    print(f"rate vs fixed QPSK-everywhere: {rate_gain:.2f}x, error-free")
+    print(f"rate vs fixed QPSK-everywhere: {rate_gain:.2f}x at design BER")
 
 
 if __name__ == "__main__":

@@ -161,6 +161,7 @@ class TestLayered:
         out = CODE.decode(llr, iters=20, schedule="layered")
         assert int(jnp.sum(out != data)) == 0
 
+    @pytest.mark.slow
     def test_layered_converges_2x_faster(self):
         """At a harsh point near the waterfall edge, layered with half
         the iteration budget is at least as good as flooding (bit errors
@@ -172,6 +173,7 @@ class TestLayered:
         e_l = int(jnp.sum(lay != data))
         assert e_l <= e_f
 
+    @pytest.mark.slow
     def test_bf16_messages_waterfall_unaffected(self):
         """bf16 message storage: identical decoded bits to f32 at the
         4.5 dB operating point (both error-free), and no worse at the

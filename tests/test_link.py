@@ -128,6 +128,7 @@ class TestFramedLink:
         assert np.asarray(ok).all()
 
 
+@pytest.mark.slow
 class TestSizeSolverFuzz:
     def test_random_payload_sizes_construct_or_raise_cleanly(self):
         """Any payload size either builds a consistent link (validated by

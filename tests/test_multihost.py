@@ -11,6 +11,7 @@ import os
 import socket
 import subprocess
 import sys
+import pytest
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -49,6 +50,7 @@ def test_two_process_distributed_roundtrip():
     _run_workers(num_procs=2, ch=2, time=4, devs=4)
 
 
+@pytest.mark.slow
 def test_four_process_cross_boundary_halos():
     """VERDICT r2 item 4: 2x2 ("ch","time") mesh over FOUR processes with ONE
     device each — every time-axis ppermute halo hop crosses a process

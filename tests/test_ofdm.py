@@ -106,6 +106,7 @@ class TestGrid:
         assert np.all(np.asarray(rep["start"]) == 29)
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.slow
     def test_random_grid_property(self, seed):
         """Any legal grid (random FFT size, random data/pilot bin subsets,
         random LUT scheme) must roundtrip exactly and blind-acquire."""

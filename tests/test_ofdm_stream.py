@@ -47,6 +47,7 @@ def _burst_stream(m, payloads, gaps, rng, snr_db=28.0, cfo_bins=0.0):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_bursts_with_gaps_decoded_exactly(seed):
     m = _modem()
     rng = np.random.default_rng(seed)
@@ -115,6 +116,7 @@ def test_noise_only_stream_yields_nothing():
     assert frames == []
 
 
+@pytest.mark.slow
 def test_matches_aligned_acquire():
     """Stream-receiver output is bit-identical to one-shot acquire on an
     aligned capture of the same burst."""

@@ -144,6 +144,7 @@ class TestFusedPassband:
             np.asarray(dec), np.asarray(dec_long[..., off:])
         )
 
+    @pytest.mark.slow
     def test_streaming_passband_matches_oneshot(self):
         from modem_tpu.streaming import StreamingFusedChain
 

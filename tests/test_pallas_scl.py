@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from modem_tpu.fec.crc import Crc
 from modem_tpu.fec.polar import PolarCode
 
+pytestmark = pytest.mark.slow  # tracing the unrolled SCL tree costs 20-70s per code
+
 
 def _noisy(code, rng, b, snr=1.0):
     bits = rng.integers(0, 2, (b, code.k))

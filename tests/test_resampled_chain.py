@@ -55,6 +55,7 @@ def test_channel_rate_lengths():
 
 
 @pytest.mark.parametrize("up,down", [(3, 2), (2, 3)])
+@pytest.mark.slow
 def test_streaming_matches_oneshot(up, down):
     """Chunked push/flush decisions == one-shot roundtrip, bit-exact."""
     bps = 4

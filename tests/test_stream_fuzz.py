@@ -29,6 +29,8 @@ from modem_tpu.models.qam import QAM
 from modem_tpu.streaming import (
     StreamingFusedChain, StreamingFusedRx, StreamingFusedTx)
 
+pytestmark = pytest.mark.slow  # chunk-boundary fuzz: minutes of CPU; the seam cases are structurally covered by test_streaming
+
 RATES = Rates(baud_rate=1250, sample_rate=10000)
 SEEDS = [0, 1, 2]
 

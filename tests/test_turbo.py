@@ -111,6 +111,7 @@ class TestDecode:
         assert e1 > 0, "operating point too easy"
         assert e6 < e1, (e6, e1)
 
+    @pytest.mark.slow
     def test_windowed_matches_full_waterfall(self):
         """Sliding-window BCJR (window=128, guard=32) decodes the same
         2 dB batch clean, and its decisions agree with the full-block
