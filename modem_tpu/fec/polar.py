@@ -271,11 +271,26 @@ class PolarCode:
         One-hot selection of f32 values is exact under HIGHEST precision
         (the bf16x3 operand split is exact; exactly one term is nonzero).
         ``perm=None`` statically means identity (frozen-leaf subtrees).
+        A PATH-INDEPENDENT ``arr`` (list axis of size 1 — nothing up to
+        here depended on the path) is also an identity: every survivor
+        copies some parent's row and all rows are identical, so the
+        reorder is skipped and the tensor stays narrow (the round-5 cure
+        for the 8x-broadcast top levels — DESIGN.md section 15 item 1).
         """
-        if perm is None:
+        if perm is None or arr.shape[-2] == 1:
             return arr
         return jnp.einsum("blp,bpw->blw", perm, arr,
                           precision=lax.Precision.HIGHEST)
+
+    @staticmethod
+    def _cat(a, b):
+        """Concatenate along the symbol axis, broadcasting a narrow
+        (path-independent) list axis when the two sides differ."""
+        if a.shape[-2] != b.shape[-2]:
+            l_sz = max(a.shape[-2], b.shape[-2])
+            a = jnp.broadcast_to(a, a.shape[:-2] + (l_sz, a.shape[-1]))
+            b = jnp.broadcast_to(b, b.shape[:-2] + (l_sz, b.shape[-1]))
+        return jnp.concatenate([a, b], axis=-1)
 
     @staticmethod
     def _compose(p2, p1):
@@ -344,8 +359,7 @@ class PolarCode:
             ux = self._apply(p2, jnp.concatenate([u1, x1], axis=-1))
             u1, x1 = ux[..., :half], ux[..., half:]
         xor = x1 + x2 - 2.0 * x1 * x2
-        return (jnp.concatenate([u1, u2], axis=-1),
-                jnp.concatenate([xor, x2], axis=-1),
+        return (self._cat(u1, u2), self._cat(xor, x2),
                 pm, self._compose(p2, p1))
 
     def decode_list(self, llrs: jnp.ndarray, list_size: int = 8,
@@ -410,13 +424,13 @@ class PolarCode:
             kw = (min(self.n, 128) if kernel_w is None
                   else int(kernel_w))
         batch = llrs.shape[:-1]
+        # the path-broadcast [B, 1, N] is kept all the way down: the XLA
+        # tree levels propagate the narrow list axis until the first
+        # reorder materializes (`_apply` skips path-independent tensors)
+        # and the kernel ingests [B, 1, w] natively — no level ever
+        # computes on 8x-redundant rows (DESIGN.md section 15 item 1)
         lam = llrs.astype(jnp.float32).reshape((-1, 1, self.n))
         b = lam.shape[0]
-        if kw < self.n:
-            # the XLA tree levels need the explicit list axis; with the
-            # kernel at the root the path-broadcast [B, 1, N] is kept
-            # (the kernel defers broadcasting until a reorder happens)
-            lam = jnp.broadcast_to(lam, (b, list_size, self.n))
         # Only path 0 is alive at the start; clones carry a huge metric
         # and lose every top-k until real splits populate the list. The
         # clones start at 2*_BIG (not _BIG) so a never-populated path —
@@ -427,6 +441,9 @@ class PolarCode:
         pm0 = jnp.broadcast_to(pm0[None, :], (b, list_size))
         u, _, pm, _ = self._scl(lam, 0, self.n, pm0, list_size, kw,
                                 interpret)
+        # u can come back narrow when no reorder ever materialized
+        # (e.g. the whole tree inside one kernel with <= 1 info leaf)
+        u = jnp.broadcast_to(u, (b, list_size, self.n))
         # per-path data bits, [B, L, K] (one-hot extraction matmul)
         data = jnp.einsum("bln,nk->blk", u,
                           jnp.asarray(self._extract, jnp.float32),
