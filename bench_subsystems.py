@@ -16,7 +16,7 @@ line BEFORE the flagship metric line (which stays last so the driver's
 ``parsed`` record keeps the headline metric). Rows are independently
 try/except'd: a failing row reports ``null`` rather than killing the
 line. Geometry is reduced vs the dedicated bench_* scripts (fewer
-blocks, 3 passes), so these numbers are attestation floors, not the
+blocks, 3 passes) but floor-amortized per the round-5 correction, so these numbers are attestation floors, not the
 headline captures — BENCH.md records both.
 
 Methodology per BENCH.md: device-side ``lax.scan`` pass loops, inputs
@@ -94,7 +94,7 @@ def main():
 
     # --- fused TX half (symbols -> f32 I/Q waveform) -------------------
     def fused_tx():
-        blocks = 2 if SMOKE else 32
+        blocks = 2 if SMOKE else 128
         bits = make_bits(blocks, 2, S)
 
         @jax.jit
@@ -111,7 +111,7 @@ def main():
 
     # --- fused RX half (waveform -> decided bits, exact) ---------------
     def fused_rx():
-        blocks = 2 if SMOKE else 16
+        blocks = 2 if SMOKE else 64
         bits = make_bits(blocks, 2, S)
 
         @jax.jit
@@ -141,7 +141,7 @@ def main():
         from modem_tpu.fec import ccsds_code
 
         code = ccsds_code()
-        blocks, n_data = (2, 512) if SMOKE else (8, 4096)
+        blocks, n_data = (2, 512) if SMOKE else (32, 4096)
 
         @jax.jit
         def make(k):
@@ -172,7 +172,7 @@ def main():
         from modem_tpu.fec import QcLdpc
 
         ldpc = QcLdpc()  # the (648, 324) rate-1/2 default
-        blocks, ch = (2, 64) if SMOKE else (16, 4096)
+        blocks, ch = (2, 64) if SMOKE else (64, 4096)
 
         @jax.jit
         def make(k):
@@ -204,7 +204,7 @@ def main():
         from modem_tpu.fec import TurboCode
 
         turbo = TurboCode(1024)
-        blocks, ch = (1, 16) if SMOKE else (4, 512)
+        blocks, ch = (1, 16) if SMOKE else (16, 512)
 
         @jax.jit
         def make(k):
@@ -236,7 +236,7 @@ def main():
 
         polar = PolarCode(256, 128)
         crc = crc16_ccitt()
-        blocks, ch = (1, 128) if SMOKE else (16, 4096)
+        blocks, ch = (1, 128) if SMOKE else (32, 4096)
 
         @jax.jit
         def make(k):
@@ -271,7 +271,7 @@ def main():
         from modem_tpu.ops.channel import awgn
 
         m = OfdmModem(make_scheme("qpsk", rates))
-        n_sym, blocks = (16, 2) if SMOKE else (64, 64)
+        n_sym, blocks = (16, 2) if SMOKE else (64, 256)
         flen = m.frame_len(n_sym)
         nbits = m.bits_per_frame(n_sym)
 
