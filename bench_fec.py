@@ -435,11 +435,17 @@ def main():
           make_turbo_dec("xla"), (tb_llrs, tb_bits), tb_ch * turbo.k,
           n_blocks=tb_blocks)
     bench(f"Turbo(K=1024, r=1/3) max-log, {tb_iters} iters "
-          "(fused Pallas BCJR, W=256)",
+          "(fused Pallas BCJR, W=256 legacy)",
           make_turbo_dec("pallas", 256), (tb_llrs, tb_bits),
           tb_ch * turbo.k, n_blocks=tb_blocks)
-    bench(f"Turbo(K=1024, r=1/3) fused + early exit, cap {tb_iters}",
-          make_turbo_dec("pallas", 256, True), (tb_llrs, tb_bits),
+    # window=None = the round-5 auto geometry: ONE window covering the
+    # whole trellis (exact full-block BCJR, ~1.5x fewer steps)
+    bench(f"Turbo(K=1024, r=1/3) {tb_iters} iters "
+          "(fused, single-window auto)",
+          make_turbo_dec("pallas"), (tb_llrs, tb_bits),
+          tb_ch * turbo.k, n_blocks=tb_blocks)
+    bench(f"Turbo(K=1024, r=1/3) fused auto + early exit, cap {tb_iters}",
+          make_turbo_dec("pallas", None, True), (tb_llrs, tb_bits),
           tb_ch * turbo.k, n_blocks=tb_blocks)
 
 

@@ -151,6 +151,47 @@ def _gauss_pair(shape, interpret: bool = False, key=None, salt: int = 0):
 HALO_ROWS = 32
 
 
+#: carrier-phase table threshold: with integer carriers the NCO phase
+#: takes only ``sr/gcd(hz, sr)`` distinct values (5 for the reference's
+#: 2000/10000 default; the CLI even asserts ``sr % cf == 0`` for
+#: preambles, `modulate.rs:62`); below this many, per-sample cos/sin is
+#: replaced by a compare-select from a tiny table computed IN-KERNEL
+#: with the same ``jnp.cos/sin`` on the same f32 angles — the selected
+#: values are bit-identical to the per-sample transcendentals
+_NCO_TABLE_MAX = 16
+
+
+def _nco_cos_sin(gsym, p, hz: int, sr: int, sps: int):
+    """``(cos th, sin th)`` for the exact integer-mod NCO phase, using
+    the small-phase-table select when the carrier admits one."""
+    import math as _math
+
+    g = _math.gcd(hz, sr)
+    n_ph = sr // g
+    smod = ((gsym % sr) * sps + p) % sr
+    u = (smod * hz) % sr
+    scale = np.float32(2.0 * np.pi / sr)
+    if n_ph > _NCO_TABLE_MAX:
+        th = u.astype(jnp.float32) * scale
+        return jnp.cos(th), jnp.sin(th)
+    # tiny in-kernel table: the SAME cos/sin lowering evaluated on the
+    # same f32 angles the per-sample path would see (u = k*g), so each
+    # selected value is bit-identical to the transcendental it replaces
+    ki = jax.lax.broadcasted_iota(jnp.int32, (1, n_ph), 1)
+    tht = (ki * g).astype(jnp.float32) * scale
+    ct = jnp.cos(tht)
+    st = jnp.sin(tht)
+    idx = u // g
+    one = (1,) * idx.ndim
+    cth = jnp.zeros(idx.shape, jnp.float32)
+    sth = jnp.zeros(idx.shape, jnp.float32)
+    for k in range(n_ph):
+        m = idx == k
+        cth = jnp.where(m, ct[0:1, k:k + 1].reshape(one), cth)
+        sth = jnp.where(m, st[0:1, k:k + 1].reshape(one), sth)
+    return cth, sth
+
+
 def _chain_kernel(
     *refs,
     mode: str, mparams, bank: tuple, taps: tuple, sps: int, span: int,
@@ -226,11 +267,7 @@ def _chain_kernel(
             hz, sr = carrier
             rows8 = jax.lax.broadcasted_iota(jnp.int32, ai.shape, 0)
             gsym = off_ref[0, 0] + t * cs + rows8
-            smod = ((gsym % sr) * sps + p) % sr
-            u = (smod * hz) % sr
-            theta = u.astype(jnp.float32) * np.float32(2.0 * np.pi / sr)
-            cth = jnp.cos(theta)
-            sth = jnp.sin(theta)
+            cth, sth = _nco_cos_sin(gsym, p, hz, sr, sps)
             x = ai * cth - aq * sth
             if sigma is not None:
                 gx, _ = _gauss_pair(x.shape, interpret, tile_key, p)

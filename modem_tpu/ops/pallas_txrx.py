@@ -40,7 +40,7 @@ from .fir import _as_f32
 from .polyphase import _phase_bank
 from .pallas_chain import (
     HALO_ROWS, LANE, _auto_interpret, _carrier_tuple,
-    _lut_map, _lut_slice, _qam_map, _qam_slice,
+    _lut_map, _lut_slice, _nco_cos_sin, _qam_map, _qam_slice,
 )
 
 DEFAULT_CHUNK_SYM = 256
@@ -109,8 +109,8 @@ def _tx_kernel(*refs, mode, mparams, bank, sps, span, cs, k_real,
         m = jax.lax.broadcasted_iota(jnp.int32, wi.shape, 0)
         p = jax.lax.broadcasted_iota(jnp.int32, wi.shape, 1)
         gsym = off_ref[0, 0] + t * cs + m
-        th = _theta(gsym, p, hz, sr, sps)
-        x = wi * jnp.cos(th) - wq * jnp.sin(th)
+        cth, sth = _nco_cos_sin(gsym, p, hz, sr, sps)
+        x = wi * cth - wq * sth
         outs = [x.reshape(cs * sps, c)]
     else:
         outs = [wi.reshape(cs * sps, c), wq.reshape(cs * sps, c)]
@@ -298,9 +298,9 @@ def _rx_kernel(*refs, mode, mparams, taps, sps, span, cs,
         m = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         p = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         gsym = off_ref[0, 0] + t * cs + m
-        th = _theta(gsym, p, hz, sr, sps)
-        yi = 2.0 * x * jnp.cos(th)
-        yq = -2.0 * x * jnp.sin(th)
+        cth, sth = _nco_cos_sin(gsym, p, hz, sr, sps)
+        yi = 2.0 * x * cth
+        yq = -2.0 * x * sth
     else:
         yi = planes(curr[0], nxt[0])
         yq = planes(curr[1], nxt[1])
