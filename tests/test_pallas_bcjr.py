@@ -69,3 +69,53 @@ class TestFullDecode:
         assert (hard != bits).sum() > 0, "test channel too clean"
         got = tc.decode(llr, window=64, backend="pallas")
         np.testing.assert_array_equal(np.asarray(got), bits)
+
+
+class TestGeometry:
+    """Round-5 geometry solver: single-window exact-BCJR by default."""
+
+    def test_single_window_covers_trellis(self):
+        from modem_tpu.ops.pallas_bcjr import pick_geometry
+        for t in (515, 1027, 2051):
+            w, g, chunk = pick_geometry(t, 32)
+            assert w >= t                       # one window, no interior cuts
+            assert g >= 32
+            assert chunk % 3 == 0
+            assert (w + 2 * g) % chunk == 0
+
+    def test_large_stream_falls_back_to_multiwindow(self):
+        from modem_tpu.ops.pallas_bcjr import _TW_CAP, pick_geometry
+        w, g, chunk = pick_geometry(6147, 32)
+        assert w < 6147 and w + 2 * g <= _TW_CAP
+        assert chunk % 3 == 0 and (w + 2 * g) % chunk == 0
+
+    def test_pick_chunk_divides_and_aligns(self):
+        from modem_tpu.ops.pallas_bcjr import _pick_chunk
+        for tw in (324, 1092, 1050, 2112):
+            c = _pick_chunk(tw)
+            assert tw % c == 0 and c % 3 == 0 and 12 <= c <= 150
+
+    def test_auto_geometry_matches_explicit_window(self):
+        """window=None (single window) is bit-identical to the same
+        (window, guard) passed explicitly — geometry is value-neutral."""
+        import numpy as np
+        import jax.numpy as jnp
+        from modem_tpu.fec import TurboCode
+        from modem_tpu.ops.pallas_bcjr import bcjr_windowed, pick_geometry
+
+        turbo = TurboCode(40)
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(rng.integers(0, 2, (64, 40)), jnp.int32)
+        c = turbo.encode(bits)
+        lam = jnp.asarray(
+            (1.0 - 2.0 * np.asarray(c)) * 4.0
+            + rng.normal(0, 1.0, c.shape), jnp.float32)
+        k = turbo.k
+        ls, lp = lam[..., :k], lam[..., k:2 * k]
+        ts = lam[..., 3 * k:3 * k + 3]
+        tp = lam[..., 3 * k + 3:3 * k + 6]
+        la = jnp.zeros_like(ls)
+        w, g, _ = pick_geometry(k + 3, 32)
+        auto = bcjr_windowed(ls, lp, la, ts, tp, None, 32, interpret=True)
+        expl = bcjr_windowed(ls, lp, la, ts, tp, w, g, interpret=True)
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(expl))
