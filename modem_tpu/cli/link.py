@@ -79,7 +79,7 @@ def run(args, stdin, stdout, stderr=None) -> int:
     if args.mode == "tx":
         pending = np.empty(0, np.uint8)
         def emit(frames_bits: np.ndarray) -> None:
-            i, q = link.tx(jnp.asarray(frames_bits, jnp.int32))
+            i, q = link.tx_fused(jnp.asarray(frames_bits, jnp.int32))
             iv = np.asarray(i).reshape(-1)
             qv = np.asarray(q).reshape(-1)
             stdout.write(mio.f32_to_f32le(mio.interleave_iq(iv, qv)))
@@ -116,7 +116,7 @@ def run(args, stdin, stdout, stderr=None) -> int:
             x = mio.f32le_to_f32(pending[: n * frame_bytes])
             pending = pending[n * frame_bytes:]
             iq = x.reshape(n, flen, 2)
-            payload, ok = link.rx(
+            payload, ok = link.rx_fused(
                 (jnp.asarray(iq[..., 0]), jnp.asarray(iq[..., 1])),
                 noise_var=args.noise_var)
             payload = np.asarray(payload)

@@ -64,6 +64,7 @@ class FramedLink:
                  crc: Crc | None = None,
                  ldpc: QcLdpc | None = None,
                  ldpc_iters: int = 30,
+                 ldpc_early_exit: bool = True,
                  polar: PolarCode | None = None,
                  polar_list: int | None = None,
                  turbo: TurboCode | None = None,
@@ -80,6 +81,7 @@ class FramedLink:
         self.chain = chain
         self.ldpc = ldpc
         self.ldpc_iters = int(ldpc_iters)
+        self.ldpc_early_exit = bool(ldpc_early_exit)
         self.polar = polar
         self.polar_list = None if polar_list is None else int(polar_list)
         if self.polar_list is not None and polar is None:
@@ -194,6 +196,24 @@ class FramedLink:
         """Payload bits -> baseband (or passband) waveform via the chain."""
         return self.chain.tx(self.frame(payload))
 
+    def _fused_ok(self) -> bool:
+        """Fused kernels on TPU backends, staged elsewhere (the CLI and
+        CPU tests run the identical staged math; chains without fused
+        forms — e.g. the OFDM adapter — always take their own path)."""
+        import jax
+
+        return (jax.default_backend() in ("tpu", "axon")
+                and hasattr(self.chain, "tx_fused")
+                and hasattr(self.chain, "rx_soft_fused"))
+
+    def tx_fused(self, payload: jnp.ndarray):
+        """Like :meth:`tx` but through the chain's fused TX kernel on
+        TPU backends (decisions downstream identical; waveform equal up
+        to f32 reassociation)."""
+        if self._fused_ok():
+            return self.chain.tx_fused(self.frame(payload))
+        return self.tx(payload)
+
     # ---- RX ----
 
     def decode(self, llrs: jnp.ndarray):
@@ -205,7 +225,11 @@ class FramedLink:
         if self.ldpc is not None:
             m = self._steps
             x = x.reshape(x.shape[:-1] + (m, self.ldpc.n))
-            x = self.ldpc.decode(x, iters=self.ldpc_iters)
+            # production inner-decode config: layered schedule with the
+            # device-side syndrome early exit (stops when every codeword
+            # in the batch is a valid codeword; equal-BER tested)
+            x = self.ldpc.decode(x, iters=self.ldpc_iters,
+                                 early_exit=self.ldpc_early_exit)
             x = x.reshape(x.shape[:-2] + (m * self.ldpc.k,))
         elif self.polar is not None:
             m = self._steps
@@ -246,3 +270,12 @@ class FramedLink:
         """Received waveform -> ``(payload, ok)`` via the chain's soft RX."""
         llrs = self.chain.rx_soft(iq, self.n_symbols, noise_var=noise_var)
         return self.decode(llrs)
+
+    def rx_fused(self, iq, noise_var: float):
+        """Like :meth:`rx` but through the chain's fused matched-filter
+        kernel on TPU backends."""
+        if self._fused_ok():
+            llrs = self.chain.rx_soft_fused(iq, self.n_symbols,
+                                            noise_var=noise_var)
+            return self.decode(llrs)
+        return self.rx(iq, noise_var)

@@ -232,3 +232,37 @@ class TestConvWindow:
         assert bool(np.asarray(oka).all()) and bool(np.asarray(okb).all())
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(payload))
         np.testing.assert_array_equal(np.asarray(pb), np.asarray(payload))
+
+
+class TestFusedLinkPath:
+    """Round-5: FramedLink.tx_fused/rx_fused (the CLI's production route)."""
+
+    def test_cpu_fallback_is_staged(self):
+        from modem_tpu.presets import reference_link
+        lk = reference_link()
+        rng = np.random.default_rng(11)
+        p = jnp.asarray(rng.integers(0, 2, (2, lk.payload_bits)), jnp.int32)
+        si, sq = lk.tx(p)
+        fi, fq = lk.tx_fused(p)  # CPU backend -> identical staged path
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(sq), np.asarray(fq))
+
+    def test_forced_fused_route_decodes_identically(self):
+        """Force the fused route (interpret-mode kernels on CPU): the
+        decoded payloads and CRC verdicts match the staged RX."""
+        from modem_tpu.presets import reference_link
+        lk = reference_link()
+        lk._fused_ok = lambda: True
+        rng = np.random.default_rng(12)
+        p = jnp.asarray(rng.integers(0, 2, (2, lk.payload_bits)), jnp.int32)
+        i, q = lk.tx_fused(p)
+        key = jax.random.key(3)
+        from modem_tpu.ops.channel import awgn
+        ci, cq = awgn(key, i, q, 4.0)
+        nv = 10.0 ** -0.4
+        got_f, ok_f = lk.rx_fused((ci, cq), noise_var=nv)
+        got_s, ok_s = lk.rx((ci, cq), noise_var=nv)
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(got_s))
+        np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_s))
+        assert bool(np.asarray(ok_f).all())
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(p))
