@@ -174,6 +174,27 @@ def main():
                 (wi, wq, rx_bits), wave_samples(rx_blocks),
                 quarter=(run_rx, (wi[:qb], wq[:qb], rx_bits[:qb]),
                          wave_samples(qb)))
+
+        if rx_dtype == jnp.float32:
+            # the soft half (waveform -> per-bit LLRs) — what every
+            # coded link's RX actually runs; checksum = LLR sign bits
+            # equal the transmitted bits (clean waveform)
+            @jax.jit
+            def run_rx_soft(wi, wq, bits):
+                def body(acc, xs):
+                    i, q, b = xs
+                    llr = chain.rx_soft_fused((i, q), N_SYMBOLS,
+                                              noise_var=0.5)
+                    return acc + jnp.sum((llr < 0).astype(jnp.int32)), None
+                acc, _ = jax.lax.scan(body, jnp.int32(0), (wi, wq, bits))
+                return jnp.stack([acc, jnp.sum(bits)])
+
+            measure("fused RX soft (waveform -> LLRs, signs exact)",
+                    run_rx_soft, (wi, wq, rx_bits),
+                    wave_samples(rx_blocks),
+                    quarter=(run_rx_soft,
+                             (wi[:qb], wq[:qb], rx_bits[:qb]),
+                             wave_samples(qb)))
         del wi, wq, rx_bits
 
     # --- TX -> HBM -> RX pipelines (waveform materializes between the
