@@ -111,7 +111,7 @@ def main():
                 ext = jnp.concatenate([tail, syms], axis=-1)
                 wi, wq = fused_tx(ext, lut, rrc, SPS, SPAN,
                                   sym_offset=seen - SPAN, qam_params=qp)
-                lo, hi = SPAN * SPS, (SPAN + chunk_sym) * SPS
+                hi = (SPAN + chunk_sym) * SPS
                 acc = acc + jnp.sum(wi[..., hi - 1]) + jnp.sum(wq[..., hi - 1])
                 return (ext[..., chunk_sym:], seen + chunk_sym, acc), None
 
