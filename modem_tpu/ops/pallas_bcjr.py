@@ -345,10 +345,19 @@ def bcjr_windowed(lsys, lpar, la, t_sys, t_par, window: int | None,
     tp = t + 3
     batch = lsys.shape[:-1]
     c = int(np.prod(batch)) if batch else 1
+    if interpret is None:
+        interpret = _auto_interpret()
     if window is None:
         window, guard, chunk = pick_geometry(tp, guard)
     else:
         chunk = _pick_chunk(window + 2 * guard)
+    if interpret:
+        # CPU interpret: small unroll granule (tracing cost dominates);
+        # chunking is value-neutral, so parity gates are unaffected
+        for small in range(12, 151, 3):
+            if (window + 2 * guard) % small == 0:
+                chunk = small
+                break
     n_win = -(-tp // window)
     pad_tail = n_win * window - tp
     tw = window + 2 * guard

@@ -248,7 +248,12 @@ def viterbi_decode_windows(code, win: jnp.ndarray, pin: jnp.ndarray,
         raise ValueError("pallas viterbi needs S >= 8 (use the XLA path)")
     batch = win.shape[:-2]
     t_in, n = win.shape[-2], win.shape[-1]
-    chunk = _pick_chunk(code, t_in)
+    if interpret is None:
+        interpret = _auto_interpret()
+    # interpret mode (CPU tests): tracing cost scales with the unroll,
+    # runtime doesn't matter — keep the small legacy granule
+    chunk = (math.lcm(code.k - 1, _RENORM) if interpret
+             else _pick_chunk(code, t_in))
     r = int(np.prod(batch)) if batch else 1
     rows = win.reshape((r, t_in, n))
     pinr = jnp.broadcast_to(pin, batch).reshape((r,)).astype(jnp.float32)
@@ -296,7 +301,10 @@ def viterbi_decode_stream(code, lam: jnp.ndarray, block_steps: int,
     w = -(-t // b)
     tp_stream = w * b
     tw = b + 2 * h
-    chunk = _pick_chunk(code, tw)
+    if interpret is None:
+        interpret = _auto_interpret()
+    chunk = (math.lcm(code.k - 1, _RENORM) if interpret
+             else _pick_chunk(code, tw))
     pad_t = (-tw) % chunk
     c = int(np.prod(batch)) if batch else 1
 
