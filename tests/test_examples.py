@@ -41,7 +41,11 @@ def examples_path():
     sys.path.remove(EXAMPLES_DIR)
 
 
-@pytest.mark.parametrize("name", sorted(_TRIMS))
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in
+     ("control_channel", "ber_waterfall", "ofdm_link") else n
+     for n in sorted(_TRIMS)])
 def test_example_main_runs(name, examples_path, capsys):
     mod = importlib.import_module(name)
     for attr, val in _TRIMS[name].items():

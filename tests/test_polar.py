@@ -135,6 +135,7 @@ class TestListDecode:
         assert out.shape == bits.shape
         np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
 
+    @pytest.mark.slow
     def test_list_beats_sc(self):
         """At a stressed operating point SCL-8 corrects blocks SC loses
         (never the reverse on aggregate bit errors; deterministic

@@ -91,6 +91,7 @@ class TestShorten:
         assert (x[:, 48:] == 0).all()
 
     @pytest.mark.slow
+    @pytest.mark.slow
     def test_awgn_roundtrip_sc_and_scl(self):
         rm = RateMatchedPolar(20, 48, n=64, mode="shorten")
         rng = np.random.default_rng(1)
