@@ -69,7 +69,7 @@ class FramedLink:
                  polar_list: int | None = None,
                  turbo: TurboCode | None = None,
                  turbo_iters: int | None = None,
-                 conv_window: int | None = None):
+                 conv_window: int | None | str = "auto"):
         n_inner = sum(x is not None for x in (conv, ldpc, polar, turbo))
         if n_inner > 1:
             raise ValueError(
@@ -91,7 +91,7 @@ class FramedLink:
         self.conv = (None if (ldpc is not None or polar is not None
                               or turbo is not None)
                      else (ccsds_code() if conv is None else conv))
-        self.conv_window = None if conv_window is None else int(conv_window)
+        self.conv_window = conv_window  # "auto" resolved after sizing
         self.rs = rs
         self.puncturer = puncturer
         self.rows = int(interleave_rows)
@@ -155,6 +155,17 @@ class FramedLink:
                 f"wire length {wire} must divide by bits/symbol {bps}")
         self.wire_bits = wire
         self.n_symbols = wire // bps
+        if self.conv_window == "auto":
+            # production default: windowed truncated-traceback decode
+            # (the fused Pallas kernel on TPU backends, the windowed XLA
+            # scan elsewhere — both measured faster than the full-block
+            # scan at equal BER, BENCH.md FEC table) once the trellis is
+            # long enough for the window to pay; short frames and
+            # non-conv inner codes keep their existing forms
+            self.conv_window = (512 if self.conv is not None
+                                and self._steps >= 1024 else None)
+        elif self.conv_window is not None:
+            self.conv_window = int(self.conv_window)
 
     # ---- TX ----
 
