@@ -105,9 +105,10 @@ def main():
 
     # LDPC-coded link: 8 x (648,324) blocks per frame
     ldpc = QcLdpc()
+    import jax.numpy as _jnp
     link = FramedLink(qpsk_reference_chain(rates),
                       payload_bits=8 * ldpc.k - 16, ldpc=ldpc,
-                      ldpc_iters=10)
+                      ldpc_iters=10, ldpc_msg_dtype=_jnp.bfloat16)
     bench("LDPC(648,324) link, 10-iter layered inner @ 3 dB",
           link, 3.0, n_frames=256, n_blocks=128)
 

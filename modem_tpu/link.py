@@ -65,10 +65,12 @@ class FramedLink:
                  ldpc: QcLdpc | None = None,
                  ldpc_iters: int = 30,
                  ldpc_early_exit: bool = True,
+                 ldpc_msg_dtype=None,
                  polar: PolarCode | None = None,
                  polar_list: int | None = None,
                  turbo: TurboCode | None = None,
                  turbo_iters: int | None = None,
+                 turbo_early_exit: bool = True,
                  conv_window: int | None | str = "auto"):
         n_inner = sum(x is not None for x in (conv, ldpc, polar, turbo))
         if n_inner > 1:
@@ -82,12 +84,14 @@ class FramedLink:
         self.ldpc = ldpc
         self.ldpc_iters = int(ldpc_iters)
         self.ldpc_early_exit = bool(ldpc_early_exit)
+        self.ldpc_msg_dtype = ldpc_msg_dtype
         self.polar = polar
         self.polar_list = None if polar_list is None else int(polar_list)
         if self.polar_list is not None and polar is None:
             raise ValueError("polar_list needs a polar inner code")
         self.turbo = turbo
         self.turbo_iters = turbo_iters
+        self.turbo_early_exit = bool(turbo_early_exit)
         self.conv = (None if (ldpc is not None or polar is not None
                               or turbo is not None)
                      else (ccsds_code() if conv is None else conv))
@@ -240,7 +244,8 @@ class FramedLink:
             # device-side syndrome early exit (stops when every codeword
             # in the batch is a valid codeword; equal-BER tested)
             x = self.ldpc.decode(x, iters=self.ldpc_iters,
-                                 early_exit=self.ldpc_early_exit)
+                                 early_exit=self.ldpc_early_exit,
+                                 msg_dtype=self.ldpc_msg_dtype)
             x = x.reshape(x.shape[:-2] + (m * self.ldpc.k,))
         elif self.polar is not None:
             m = self._steps
@@ -253,8 +258,11 @@ class FramedLink:
         elif self.turbo is not None:
             m = self._steps
             x = x.reshape(x.shape[:-1] + (m, self.turbo.n))
-            x = (self.turbo.decode(x) if self.turbo_iters is None
-                 else self.turbo.decode(x, iters=self.turbo_iters))
+            # production default: decision-stability early termination
+            # (identical decisions at convergence — fec/turbo docstring;
+            # disable via turbo_early_exit=False for fixed-iteration runs)
+            x = self.turbo.decode(x, iters=self.turbo_iters,
+                                  early_exit=self.turbo_early_exit)
             x = x.reshape(x.shape[:-2] + (m * self.turbo.k,))
         else:
             if self.puncturer is not None:
