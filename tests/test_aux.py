@@ -96,3 +96,37 @@ class TestMeasure:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             measure_marginal(lambda b: b, (xl,), (xs,), 1)
+
+
+class TestBenchOrchestratorParsing:
+    """Host-side plumbing the driver capture depends on (bench.py)."""
+
+    def _mod(self):
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                      "bench.py"))
+        # BENCH_CHILD unset -> importing would run orchestrate(); read the
+        # helpers without executing by setting the child flag first
+        os.environ["BENCH_CHILD"] = "1"
+        try:
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        finally:
+            del os.environ["BENCH_CHILD"]
+        return mod
+
+    def test_last_json_line_picks_last_valid(self):
+        mod = self._mod()
+        text = ('noise\n{"metric": "a", "value": 1}\n'
+                'not json {\n{"subsystems": {"x": 2}}\n')
+        assert mod._last_json_line(text) == {"subsystems": {"x": 2}}
+        assert mod._last_json_line("no json here") is None
+
+    def test_error_line_shape(self):
+        import json
+        mod = self._mod()
+        rec = json.loads(mod._error_line("boom"))
+        assert rec["value"] == 0.0 and rec["error"] == "boom"
+        assert "metric" in rec and "vs_baseline" in rec
